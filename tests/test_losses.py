@@ -1,0 +1,281 @@
+"""Loss-family numerics: JAX implementation vs independent numpy oracle."""
+
+import numpy as np
+import pytest
+
+import oracle
+from xfmr_rec_tpu.ops import (
+    LOSS_NAMES,
+    LossConfig,
+    compute_loss,
+    compute_losses,
+    hard_mining,
+    negative_masks,
+    semi_hard_mining,
+    squared_distance,
+    weighted_mean,
+)
+
+
+def make_batch(seed=0, batch=8, dim=6, num_pos=3, with_neg_items=True):
+    rng = np.random.default_rng(seed)
+    b = batch
+    m = 2 * b if with_neg_items else b
+    u = rng.normal(size=(b, dim))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    c = rng.normal(size=(m, dim))
+    c /= np.linalg.norm(c, axis=-1, keepdims=True)
+    # item indices start at 1; inject some duplicates for accidental hits
+    item_idx = rng.integers(1, m, size=m)
+    item_idx[0] = item_idx[3]  # force an in-batch duplicate
+    # pos_idx: 0-padded per-row positive sets, include own item sometimes
+    pos_idx = rng.integers(0, m, size=(b, num_pos))
+    pos_idx[1, 0] = item_idx[5]  # force a pos-set accidental hit
+    target = rng.integers(1, 6, size=b).astype(np.float64)
+    return u, c, target, item_idx, pos_idx
+
+
+class TestPrimitives:
+    def test_squared_distance_matches_definition(self):
+        u, c, *_ = make_batch()
+        got = np.asarray(squared_distance(u, c))
+        want = oracle.sqdist(u, c)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_squared_distance_nonnegative(self):
+        x = np.random.default_rng(1).normal(size=(4, 3))
+        d = np.asarray(squared_distance(x, x))
+        assert (d >= 0).all()
+        np.testing.assert_allclose(np.diagonal(d), 0.0, atol=1e-6)
+
+    def test_weighted_mean(self):
+        v = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+        w = np.array([[1.0, 0.0, 1.0], [0.0, 0.0, 0.0]])
+        got = np.asarray(weighted_mean(v, w, axis=-1))
+        np.testing.assert_allclose(got[0], 2.0, rtol=1e-6)
+        np.testing.assert_allclose(got[1], 0.0, atol=1e-6)  # guarded denom
+
+
+class TestMasking:
+    def test_negative_masks_oracle(self):
+        u, c, target, item_idx, pos_idx = make_batch()
+        logits = np.zeros((u.shape[0], c.shape[0]))
+        got = np.asarray(
+            negative_masks(logits, item_idx=item_idx, pos_idx=pos_idx)
+        )
+        want = oracle.masks_oracle(item_idx, pos_idx, u.shape[0])
+        np.testing.assert_array_equal(got, want)
+
+    def test_self_item_always_masked(self):
+        u, c, target, item_idx, pos_idx = make_batch()
+        logits = np.zeros((u.shape[0], c.shape[0]))
+        got = np.asarray(
+            negative_masks(logits, item_idx=item_idx, pos_idx=pos_idx)
+        )
+        for i in range(u.shape[0]):
+            assert not got[i, i]
+
+    def test_zero_padding_never_matches(self):
+        # padded pos_idx zeros must not mask anything (item_idx >= 1)
+        item_idx = np.arange(1, 9)
+        pos_idx = np.zeros((4, 3), dtype=np.int64)
+        logits = np.zeros((4, 8))
+        got = np.asarray(
+            negative_masks(logits, item_idx=item_idx, pos_idx=pos_idx)
+        )
+        want = ~(item_idx[:4, None] == item_idx[None, :])
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("k", [1, 3, 7])
+    def test_semi_hard_mining_oracle(self, k):
+        u, c, target, item_idx, pos_idx = make_batch(seed=2)
+        logits = oracle.signed_logits(u, c, target, 1.0)
+        base = oracle.masks_oracle(item_idx, pos_idx, u.shape[0])
+        got = np.asarray(
+            semi_hard_mining(logits, base, num_negatives=k)
+        )
+        want = oracle.semi_hard_oracle(logits, base, k)
+        np.testing.assert_array_equal(got, want)
+
+    def test_mining_disabled_passthrough(self):
+        u, c, target, item_idx, pos_idx = make_batch(seed=3)
+        logits = oracle.signed_logits(u, c, target, 1.0)
+        base = oracle.masks_oracle(item_idx, pos_idx, u.shape[0])
+        for k in (0, logits.shape[1], logits.shape[1] + 5):
+            got = np.asarray(semi_hard_mining(logits, base, num_negatives=k))
+            np.testing.assert_array_equal(got, base)
+            got = np.asarray(hard_mining(logits, base, num_negatives=k))
+            np.testing.assert_array_equal(got, base)
+
+    def test_hard_mining_selects_highest_logits(self):
+        logits = np.array([[5.0, 1.0, 4.0, 3.0, 2.0]])
+        masks = np.array([[False, True, True, True, True]])
+        got = np.asarray(hard_mining(logits, masks, num_negatives=2))
+        np.testing.assert_array_equal(
+            got, np.array([[False, False, True, True, False]])
+        )
+
+    def test_mining_at_most_k_survivors(self):
+        u, c, target, item_idx, pos_idx = make_batch(seed=4)
+        logits = oracle.signed_logits(u, c, target, 1.0)
+        base = oracle.masks_oracle(item_idx, pos_idx, u.shape[0])
+        got = np.asarray(semi_hard_mining(logits, base, num_negatives=4))
+        assert (got.sum(-1) <= 4).all()
+        assert (got <= base).all()  # subset of valid negatives
+
+
+@pytest.mark.parametrize("k", [0, 4])
+@pytest.mark.parametrize("sigma,margin", [(1.0, 1.0), (3.0, 0.5), (1.0, -0.3)])
+class TestLossParity:
+    def cfg(self, k, sigma, margin):
+        return LossConfig(num_negatives=k, sigma=sigma, margin=margin)
+
+    def run_loss(self, name, k, sigma, margin, seed=0):
+        u, c, target, item_idx, pos_idx = make_batch(seed=seed)
+        config = self.cfg(k, sigma, margin)
+        got = float(
+            compute_loss(
+                name, u, c, target,
+                item_idx=item_idx, pos_idx=pos_idx, config=config,
+            )
+        )
+        return got, (u, c, target, item_idx, pos_idx)
+
+    def test_alignment(self, k, sigma, margin):
+        got, (u, c, target, *_rest) = self.run_loss(
+            "AlignmentLoss", k, sigma, margin
+        )
+        want = oracle.alignment(u, c, target, sigma)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_contrastive(self, k, sigma, margin):
+        got, (u, c, target, item_idx, pos_idx) = self.run_loss(
+            "ContrastiveLoss", k, sigma, margin
+        )
+        want = oracle.contrastive(
+            u, c, target, item_idx, pos_idx, k, sigma, margin
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_alignment_contrastive_is_sum(self, k, sigma, margin):
+        got, (u, c, target, item_idx, pos_idx) = self.run_loss(
+            "AlignmentContrastiveLoss", k, sigma, margin
+        )
+        want = oracle.alignment(u, c, target, sigma) + oracle.contrastive(
+            u, c, target, item_idx, pos_idx, k, sigma, margin
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_infonce(self, k, sigma, margin):
+        got, (u, c, target, item_idx, pos_idx) = self.run_loss(
+            "InfomationNoiseContrastiveEstimationLoss", k, sigma, margin
+        )
+        want = oracle.infonce(u, c, target, item_idx, pos_idx, k, sigma)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_mine(self, k, sigma, margin):
+        got, (u, c, target, item_idx, pos_idx) = self.run_loss(
+            "MutualInformationNeuralEstimationLoss", k, sigma, margin
+        )
+        want = oracle.mine(u, c, target, item_idx, pos_idx, k, sigma)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_pairwise_hinge(self, k, sigma, margin):
+        got, (u, c, target, item_idx, pos_idx) = self.run_loss(
+            "PairwiseHingeLoss", k, sigma, margin
+        )
+        want = oracle.pairwise(
+            u, c, target, item_idx, pos_idx, k, sigma, margin, "hinge"
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_pairwise_logistic(self, k, sigma, margin):
+        got, (u, c, target, item_idx, pos_idx) = self.run_loss(
+            "PairwiseLogisticLoss", k, sigma, margin
+        )
+        want = oracle.pairwise(
+            u, c, target, item_idx, pos_idx, k, sigma, margin, "logistic"
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+class TestLossProperties:
+    def test_compute_losses_returns_all(self):
+        u, c, target, item_idx, pos_idx = make_batch()
+        out = compute_losses(
+            u, c, target,
+            item_idx=item_idx, pos_idx=pos_idx,
+            config=LossConfig(num_negatives=4),
+        )
+        assert set(out) == set(LOSS_NAMES)
+        for v in out.values():
+            assert np.isfinite(float(v))
+
+    def test_losses_differentiable(self):
+        import jax
+
+        u, c, target, item_idx, pos_idx = make_batch()
+        config = LossConfig(num_negatives=4)
+
+        def f(ue, ie):
+            return compute_loss(
+                "PairwiseHingeLoss", ue, ie, target,
+                item_idx=item_idx, pos_idx=pos_idx, config=config,
+            )
+
+        gu, gi = jax.grad(f, argnums=(0, 1))(u, c)
+        assert np.isfinite(np.asarray(gu)).all()
+        assert np.isfinite(np.asarray(gi)).all()
+        assert np.abs(np.asarray(gu)).sum() > 0
+
+    def test_logq_correction_shifts_infonce(self):
+        u, c, target, item_idx, pos_idx = make_batch(seed=7)
+        log_q = np.random.default_rng(8).normal(size=c.shape[0])
+        cfg = LossConfig(num_negatives=0, use_logq_correction=True)
+        got = float(
+            compute_loss(
+                "InfomationNoiseContrastiveEstimationLoss",
+                u, c, target,
+                item_idx=item_idx, pos_idx=pos_idx, config=cfg, log_q=log_q,
+            )
+        )
+        want = oracle.infonce(
+            u, c, target, item_idx, pos_idx, 0, 1.0, log_q=log_q
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+        base = float(
+            compute_loss(
+                "InfomationNoiseContrastiveEstimationLoss",
+                u, c, target,
+                item_idx=item_idx, pos_idx=pos_idx,
+                config=LossConfig(num_negatives=0), log_q=log_q,
+            )
+        )
+        assert abs(got - base) > 1e-6  # flag off => no correction applied
+
+    def test_negative_target_flips_sign(self):
+        u, c, target, item_idx, pos_idx = make_batch(seed=9)
+        target_neg = -target
+        cfg = LossConfig(num_negatives=0)
+        got = float(
+            compute_loss(
+                "MutualInformationNeuralEstimationLoss",
+                u, c, target_neg,
+                item_idx=item_idx, pos_idx=pos_idx, config=cfg,
+            )
+        )
+        want = oracle.mine(u, c, target_neg, item_idx, pos_idx, 0, 1.0)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_jit_compiles(self):
+        import jax
+
+        u, c, target, item_idx, pos_idx = make_batch()
+        config = LossConfig(num_negatives=4)
+        fn = jax.jit(
+            lambda ue, ie, t, ii, pi: compute_losses(
+                ue, ie, t, item_idx=ii, pos_idx=pi, config=config
+            )
+        )
+        out = fn(u, c, target, item_idx, pos_idx)
+        assert len(out) == len(LOSS_NAMES)

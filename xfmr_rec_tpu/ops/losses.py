@@ -1,0 +1,284 @@
+"""Contrastive / pairwise embedding loss family.
+
+Numerical-parity targets (reference /root/reference/xfmr_rec/losses.py):
+
+- alignment_loss    : losses.py:164-170   (~ DirectAU alignment term)
+- contrastive_loss  : losses.py:172-193   (~ CCL / SimpleX)
+- infonce_loss      : losses.py:195-223   (~ SSM / InfoNCE+)
+- mine_loss         : losses.py:225-246   (MINE+)
+- pairwise family   : losses.py:324-359   (BPR logistic / hinge)
+- the 7 concrete classes: losses.py:249-359
+
+Re-designed as pure functions over a frozen `LossConfig` so a single jitted
+train step can compute all losses at once (the reference runs all 7 per
+step and backprops only the configured one — lightning.py:137-147,189-192).
+
+Extension beyond the reference snapshot (promised in its README but not
+implemented there): LogQ sampled-softmax correction. Pass `log_q`
+(per-candidate sampling log-probability) and softmax-family losses subtract
+it from candidate logits, de-biasing in-batch/mixed negative sampling per
+"Sampling-Bias-Corrected Neural Modeling" (Yi et al., RecSys'19).
+
+Conventions shared by all losses:
+- logits = -squared_distance(user, item) * sign(target) * sigma
+- rows are weighted by |target| (rating magnitude); sign(target) flips the
+  objective for negative-feedback rows.
+- `item_embed` holds `2 * batch_size` rows when mixed negative sampling is
+  on: in-batch positives first, then sampled corpus negatives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from xfmr_rec_tpu.ops.masking import (
+    mask_log,
+    negative_masks,
+    semi_hard_mining,
+)
+from xfmr_rec_tpu.ops.similarity import squared_distance, weighted_mean
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Static loss hyperparameters (trace-time constants under jit)."""
+
+    num_negatives: int = 0
+    sigma: float = 1.0
+    margin: float = 1.0
+    use_logq_correction: bool = False
+
+
+def _signed_logits(
+    user_embed: Array, item_embed: Array, target: Array, sigma: float
+) -> Array:
+    logits = -squared_distance(user_embed, item_embed)
+    return logits * jnp.sign(target)[:, None] * sigma
+
+
+def _mined_masks(
+    logits: Array, item_idx: Array, pos_idx: Array, num_negatives: int
+) -> Array:
+    masks = negative_masks(logits, item_idx=item_idx, pos_idx=pos_idx)
+    masks = semi_hard_mining(logits, masks, num_negatives=num_negatives)
+    return jax.lax.stop_gradient(masks)
+
+
+def alignment_loss(
+    user_embed: Array,
+    item_embed: Array,
+    target: Array,
+    *,
+    item_idx: Array,  # noqa: ARG001 — uniform signature across the family
+    pos_idx: Array,  # noqa: ARG001
+    config: LossConfig,
+    log_q: Array | None = None,  # noqa: ARG001
+) -> Array:
+    """Pull each user towards its positive item (DirectAU alignment)."""
+    batch_size = user_embed.shape[0]
+    dist = squared_distance(user_embed, item_embed[:batch_size])
+    loss = jnp.diagonal(dist)
+    return jnp.sum(loss * target * config.sigma)
+
+
+def contrastive_loss(
+    user_embed: Array,
+    item_embed: Array,
+    target: Array,
+    *,
+    item_idx: Array,
+    pos_idx: Array,
+    config: LossConfig,
+    log_q: Array | None = None,  # noqa: ARG001 — margin loss is not softmax-corrected
+) -> Array:
+    """Margin-hinge over mined negatives (~ CCL)."""
+    logits = _signed_logits(user_embed, item_embed, target, config.sigma)
+    masks = _mined_masks(logits, item_idx, pos_idx, config.num_negatives)
+    losses = jax.nn.relu(logits + jnp.sign(target)[:, None] * config.margin)
+    loss = weighted_mean(losses, masks, axis=-1)
+    return jnp.sum(loss * jnp.abs(target))
+
+
+def infonce_loss(
+    user_embed: Array,
+    item_embed: Array,
+    target: Array,
+    *,
+    item_idx: Array,
+    pos_idx: Array,
+    config: LossConfig,
+    log_q: Array | None = None,
+) -> Array:
+    """Masked sampled-softmax cross-entropy with the positive on the diagonal."""
+    logits = _signed_logits(user_embed, item_embed, target, config.sigma)
+    masks = _mined_masks(logits, item_idx, pos_idx, config.num_negatives)
+    batch_size, num_items = logits.shape
+    eye = jnp.eye(batch_size, num_items, dtype=bool)
+    masks = masks | eye
+    if config.use_logq_correction and log_q is not None:
+        logits = logits - log_q[None, :]
+    masked_logits = logits + mask_log(masks)
+    # cross entropy with labels = arange(batch): -diag + logsumexp(row)
+    loss = -jnp.diagonal(masked_logits) + jax.nn.logsumexp(
+        masked_logits, axis=-1
+    )
+    return jnp.sum(loss * jnp.abs(target))
+
+
+def mine_loss(
+    user_embed: Array,
+    item_embed: Array,
+    target: Array,
+    *,
+    item_idx: Array,
+    pos_idx: Array,
+    config: LossConfig,
+    log_q: Array | None = None,
+) -> Array:
+    """Mutual Information Neural Estimation bound: -pos + logsumexp(neg)."""
+    logits = _signed_logits(user_embed, item_embed, target, config.sigma)
+    masks = _mined_masks(logits, item_idx, pos_idx, config.num_negatives)
+    corrected = logits
+    if config.use_logq_correction and log_q is not None:
+        corrected = logits - log_q[None, :]
+    negative_score = jax.nn.logsumexp(corrected + mask_log(masks), axis=-1)
+    loss = -jnp.diagonal(logits) + negative_score
+    return jnp.sum(loss * jnp.abs(target))
+
+
+def _pairwise_loss(
+    user_embed: Array,
+    item_embed: Array,
+    target: Array,
+    *,
+    item_idx: Array,
+    pos_idx: Array,
+    config: LossConfig,
+    score_loss_fn,
+) -> Array:
+    """Pairwise positive-vs-negative ranking loss over mined negatives."""
+    logits = _signed_logits(user_embed, item_embed, target, config.sigma)
+    masks = _mined_masks(logits, item_idx, pos_idx, config.num_negatives)
+    scores = logits - jnp.diagonal(logits)[:, None] + config.margin
+    losses = score_loss_fn(scores)
+    loss = weighted_mean(losses, masks, axis=-1)
+    return jnp.sum(loss * jnp.abs(target))
+
+
+def pairwise_logistic_loss(
+    user_embed, item_embed, target, *, item_idx, pos_idx, config, log_q=None  # noqa: ARG001
+) -> Array:
+    """BPR: -logsigmoid(-(neg - pos + margin)) == softplus(score)."""
+    return _pairwise_loss(
+        user_embed,
+        item_embed,
+        target,
+        item_idx=item_idx,
+        pos_idx=pos_idx,
+        config=config,
+        score_loss_fn=jax.nn.softplus,
+    )
+
+
+def pairwise_hinge_loss(
+    user_embed, item_embed, target, *, item_idx, pos_idx, config, log_q=None  # noqa: ARG001
+) -> Array:
+    """Hinge on (neg - pos + margin). Reference default train loss."""
+    return _pairwise_loss(
+        user_embed,
+        item_embed,
+        target,
+        item_idx=item_idx,
+        pos_idx=pos_idx,
+        config=config,
+        score_loss_fn=jax.nn.relu,
+    )
+
+
+def alignment_contrastive_loss(
+    user_embed, item_embed, target, *, item_idx, pos_idx, config, log_q=None
+) -> Array:
+    """Alignment + contrastive sum (~ MAWU / DirectAU-style)."""
+    return alignment_loss(
+        user_embed,
+        item_embed,
+        target,
+        item_idx=item_idx,
+        pos_idx=pos_idx,
+        config=config,
+        log_q=log_q,
+    ) + contrastive_loss(
+        user_embed,
+        item_embed,
+        target,
+        item_idx=item_idx,
+        pos_idx=pos_idx,
+        config=config,
+        log_q=log_q,
+    )
+
+
+# Registry — names match the reference concrete classes (losses.py:249-359)
+# so configs written for the reference select the same objective here.
+LOSSES = {
+    "AlignmentLoss": alignment_loss,
+    "ContrastiveLoss": contrastive_loss,
+    "AlignmentContrastiveLoss": alignment_contrastive_loss,
+    "InfomationNoiseContrastiveEstimationLoss": infonce_loss,
+    "MutualInformationNeuralEstimationLoss": mine_loss,
+    "PairwiseHingeLoss": pairwise_hinge_loss,
+    "PairwiseLogisticLoss": pairwise_logistic_loss,
+}
+LOSS_NAMES = tuple(LOSSES)
+
+
+def compute_loss(
+    name: str,
+    user_embed: Array,
+    item_embed: Array,
+    target: Array,
+    *,
+    item_idx: Array,
+    pos_idx: Array,
+    config: LossConfig,
+    log_q: Array | None = None,
+) -> Array:
+    return LOSSES[name](
+        user_embed,
+        item_embed,
+        target,
+        item_idx=item_idx,
+        pos_idx=pos_idx,
+        config=config,
+        log_q=log_q,
+    )
+
+
+def compute_losses(
+    user_embed: Array,
+    item_embed: Array,
+    target: Array,
+    *,
+    item_idx: Array,
+    pos_idx: Array,
+    config: LossConfig,
+    log_q: Array | None = None,
+) -> dict[str, Array]:
+    """All losses at once — one fused jit region, shared similarity matrix."""
+    return {
+        name: compute_loss(
+            name,
+            user_embed,
+            item_embed,
+            target,
+            item_idx=item_idx,
+            pos_idx=pos_idx,
+            config=config,
+            log_q=log_q,
+        )
+        for name in LOSS_NAMES
+    }
