@@ -1,0 +1,255 @@
+"""Dual text encoder: BERT-style flax transformer + pooling + L2 normalize.
+
+Capability parity with the reference model layer
+(/root/reference/xfmr_rec/models.py):
+- ModelConfig fields (vocab/hidden/layers/heads/intermediate/act/max_pos,
+  pooling_mode) keep the reference names and defaults (models.py:14-24).
+- The encode path is Transformer -> pooling -> L2 normalize, matching the
+  sentence-transformer composition (models.py:42-63), so embeddings are
+  unit-norm and `1 - dot` is the cosine distance the retrieval index uses.
+
+TPU-first design choices:
+- One flax module, jit/pjit-friendly: fixed (batch, seq) int32 token ids in,
+  (batch, hidden) f32 unit embeddings out. No host tokenization in the step.
+- `compute_dtype=bfloat16` runs attention/FFN matmuls on the MXU in bf16
+  with f32 params and f32 final normalize.
+- Compressed embedding tables ("hash" = hash embeddings with learned
+  importance weights, Svenstrup et al. 2017; "bloom" = summed multi-hash
+  buckets) — README-promised features the reference never implemented.
+  Bucket ids are derived in-module by multiplicative rehashing of the
+  token ids, so the data pipeline is identical for all table types.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pydantic
+from jax import Array
+
+# Multiplicative-hash constants (distinct odd 32-bit) for in-module
+# bucket derivation of hash/bloom embedding tables.
+_REHASH_MULTIPLIERS = (
+    2654435761,
+    2246822519,
+    3266489917,
+    668265263,
+    374761393,
+    3812015801,
+    2176924009,
+    2957588489,
+)
+
+
+class ModelConfig(pydantic.BaseModel):
+    """Encoder hyperparameters. Reference-compatible field names/defaults."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 384
+    num_hidden_layers: int = 3
+    num_attention_heads: int = 12
+    intermediate_size: int = 1536
+    hidden_act: Literal["gelu", "relu", "silu", "gelu_new"] = "gelu"
+    max_position_embeddings: int = 512
+    pooling_mode: Literal["mean", "max", "cls", "pooler"] = "mean"
+
+    # TPU-native additions
+    normalize: bool = True
+    layer_norm_eps: float = 1e-12
+    dropout_rate: float = 0.1
+    compute_dtype: Literal["float32", "bfloat16"] = "bfloat16"
+    max_length: int = 64
+    embedding_type: Literal["dense", "hash", "bloom"] = "dense"
+    num_hashes: int = 2
+    num_buckets: int = 4096
+
+
+def _activation(name: str):
+    return {
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+        "relu": jax.nn.relu,
+        "silu": jax.nn.silu,
+    }[name]
+
+
+class CompressedEmbed(nn.Module):
+    """Hash / Bloom embedding table over a compressed bucket space.
+
+    bloom: e(t) = sum_i B[h_i(t)]
+    hash:  e(t) = sum_i w_i(t) * B[h_i(t)]  with learned per-token
+           importance weights w (small (vocab, num_hashes) table).
+    """
+
+    vocab_size: int
+    num_buckets: int
+    num_hashes: int
+    features: int
+    mode: str  # "hash" | "bloom"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids: Array) -> Array:
+        buckets = nn.Embed(
+            self.num_buckets, self.features, dtype=self.dtype, name="buckets"
+        )
+        mults = jnp.asarray(
+            _REHASH_MULTIPLIERS[: self.num_hashes], dtype=jnp.uint32
+        )
+        hashed = (ids.astype(jnp.uint32)[..., None] * mults) % jnp.uint32(
+            self.num_buckets
+        )
+        vecs = buckets(hashed.astype(jnp.int32))  # (..., num_hashes, feat)
+        if self.mode == "hash":
+            importance = nn.Embed(
+                self.vocab_size,
+                self.num_hashes,
+                dtype=self.dtype,
+                embedding_init=nn.initializers.ones,
+                name="importance",
+            )
+            weights = importance(ids)  # (..., num_hashes)
+            return jnp.einsum("...hf,...h->...f", vecs, weights)
+        return jnp.sum(vecs, axis=-2)
+
+
+class TransformerLayer(nn.Module):
+    """Post-LN BERT block: self-attention + FFN, residuals, LayerNorms."""
+
+    config: ModelConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(
+        self, hidden: Array, mask_bias: Array, *, deterministic: bool
+    ) -> Array:
+        cfg = self.config
+        num_heads = cfg.num_attention_heads
+        head_dim = cfg.hidden_size // num_heads
+
+        def proj(name):
+            return nn.DenseGeneral(
+                (num_heads, head_dim), dtype=self.dtype, name=name
+            )
+
+        q = proj("query")(hidden)
+        k = proj("key")(hidden)
+        v = proj("value")(hidden)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(head_dim)
+        scores = scores + mask_bias  # (b, 1, 1, k) additive
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        probs = nn.Dropout(cfg.dropout_rate)(
+            probs, deterministic=deterministic
+        )
+        context = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        attn_out = nn.DenseGeneral(
+            cfg.hidden_size, axis=(-2, -1), dtype=self.dtype, name="attn_out"
+        )(context)
+        attn_out = nn.Dropout(cfg.dropout_rate)(
+            attn_out, deterministic=deterministic
+        )
+        hidden = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attn_norm"
+        )(hidden + attn_out)
+
+        ffn = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="ffn_in")(
+            hidden
+        )
+        ffn = _activation(cfg.hidden_act)(ffn)
+        ffn = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="ffn_out")(ffn)
+        ffn = nn.Dropout(cfg.dropout_rate)(ffn, deterministic=deterministic)
+        return nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="ffn_norm"
+        )(hidden + ffn)
+
+
+class TextEncoder(nn.Module):
+    """Token ids (batch, seq) -> unit-norm sentence embeddings (batch, hidden)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, token_ids: Array, *, deterministic: bool = True) -> Array:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        mask = token_ids != 0  # PAD_ID == 0
+
+        if cfg.embedding_type == "dense":
+            embeds = nn.Embed(
+                cfg.vocab_size, cfg.hidden_size, dtype=dtype, name="word_embed"
+            )(token_ids)
+        else:
+            embeds = CompressedEmbed(
+                vocab_size=cfg.vocab_size,
+                num_buckets=cfg.num_buckets,
+                num_hashes=cfg.num_hashes,
+                features=cfg.hidden_size,
+                mode=cfg.embedding_type,
+                dtype=dtype,
+                name="word_embed",
+            )(token_ids)
+
+        seq_len = token_ids.shape[-1]
+        positions = jnp.arange(seq_len)[None, :]
+        embeds = embeds + nn.Embed(
+            cfg.max_position_embeddings,
+            cfg.hidden_size,
+            dtype=dtype,
+            name="position_embed",
+        )(positions)
+        hidden = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, name="embed_norm"
+        )(embeds)
+        hidden = nn.Dropout(cfg.dropout_rate)(
+            hidden, deterministic=deterministic
+        )
+
+        mask_bias = jnp.where(mask, 0.0, -1e9).astype(dtype)[:, None, None, :]
+        for layer_idx in range(cfg.num_hidden_layers):
+            hidden = TransformerLayer(
+                cfg, dtype, name=f"layer_{layer_idx}"
+            )(hidden, mask_bias, deterministic=deterministic)
+
+        pooled = self._pool(hidden, mask, dtype)
+        pooled = pooled.astype(jnp.float32)
+        if cfg.normalize:
+            norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+            pooled = pooled / jnp.maximum(norm, 1e-12)
+        return pooled
+
+    def _pool(self, hidden: Array, mask: Array, dtype) -> Array:
+        cfg = self.config
+        if cfg.pooling_mode == "cls":
+            return hidden[:, 0]
+        if cfg.pooling_mode == "pooler":
+            return jnp.tanh(
+                nn.Dense(cfg.hidden_size, dtype=dtype, name="pooler")(
+                    hidden[:, 0]
+                )
+            )
+        if cfg.pooling_mode == "max":
+            masked = jnp.where(mask[..., None], hidden, -jnp.inf)
+            return jnp.max(masked, axis=1)
+        # mean: mask-weighted average over real tokens
+        weights = mask[..., None].astype(hidden.dtype)
+        total = jnp.sum(hidden * weights, axis=1)
+        count = jnp.maximum(jnp.sum(weights, axis=1), 1e-9)
+        return total / count
+
+
+def init_encoder(
+    config: ModelConfig, rng: Array | int = 0
+) -> tuple[TextEncoder, dict]:
+    """Build a TextEncoder and initialize params with dummy input."""
+    if isinstance(rng, int):
+        rng = jax.random.PRNGKey(rng)
+    model = TextEncoder(config)
+    dummy = jnp.zeros((1, config.max_length), dtype=jnp.int32)
+    params = model.init({"params": rng}, dummy, deterministic=True)["params"]
+    return model, params
