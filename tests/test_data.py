@@ -1,0 +1,217 @@
+"""Data layer: synthetic generator, ETL semantics, batch pipeline."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xfmr_rec_tpu.data import DataConfig, RecDataModule
+from xfmr_rec_tpu.data.prepare import (
+    load_movies,
+    load_ratings,
+    load_users,
+    prepare_movielens,
+    rolling_history_ranges,
+    train_test_split,
+)
+from xfmr_rec_tpu.data.synthetic import generate_movielens
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data")
+    generate_movielens(
+        path, num_users=30, num_movies=120, num_ratings=900, seed=0
+    )
+    prepare_movielens(str(path), overwrite=True)
+    return str(path)
+
+
+class TestSyntheticAndLoaders:
+    def test_loaders_parse_dat(self, data_dir):
+        movies = load_movies(data_dir)
+        users = load_users(data_dir)
+        ratings = load_ratings(data_dir)
+        assert list(movies.columns) == ["movie_rn", "movie_id", "movie_text"]
+        assert movies["movie_rn"].iloc[0] == 1  # 1-based row numbers
+        assert users["user_rn"].iloc[0] == 1
+        assert '"title"' in movies["movie_text"].iloc[0]
+        assert '"gender"' in users["user_text"].iloc[0]
+        assert {"user_id", "movie_id", "rating", "timestamp"} <= set(
+            ratings.columns
+        )
+
+    def test_no_duplicate_user_item(self, data_dir):
+        ratings = load_ratings(data_dir)
+        assert not ratings.duplicated(["user_id", "movie_id"]).any()
+
+
+class TestSplit:
+    def test_per_user_temporal_80_20(self, data_dir):
+        ratings = train_test_split(load_ratings(data_dir))
+        for _, group in ratings.groupby("user_id"):
+            group = group.sort_values("timestamp")
+            train_flags = group["is_train"].to_numpy()
+            # train rows all precede holdout rows in time order
+            if (~train_flags).any() and train_flags.any():
+                assert train_flags[: train_flags.sum()].all()
+            frac = train_flags.mean()
+            # rank/n < 0.8 => at least 80%; tiny users may be all-train
+            assert frac >= 0.5
+
+    def test_val_test_partition(self, data_dir):
+        ratings = train_test_split(load_ratings(data_dir))
+        holdout = ratings[~ratings["is_train"]]
+        # every holdout row is val xor test
+        assert (holdout["is_val"] ^ holdout["is_test"]).all()
+        # val users are those with the largest holdout counts
+        counts = holdout.groupby("user_id").size()
+        val_users = set(holdout.loc[holdout["is_val"], "user_id"])
+        if val_users:
+            min_val = counts[list(val_users)].min()
+            non_val = [u for u in counts.index if u not in val_users]
+            if non_val:
+                assert counts[non_val].max() <= min_val
+        assert ratings["is_predict"].all()
+
+    def test_rolling_history_open_interval(self):
+        week = 7 * 24 * 3600
+        ts = np.array([0, week, 2 * week, 5 * week, 5 * week])
+        start, stop = rolling_history_ranges(ts)
+        # event at t=2w: window (2w-4w, 2w) contains t=0? 0 > -2w yes, 0 < 2w yes
+        assert (start[2], stop[2]) == (0, 2)
+        # events at t=5w: window (1w, 5w) excludes t=0 and t=1w (open), has 2w
+        assert (start[3], stop[3]) == (2, 3)
+        # identical timestamps share history and exclude each other
+        assert (start[4], stop[4]) == (2, 3)
+
+
+class TestParquetOutputs:
+    def test_users_parquet_activity(self, data_dir):
+        users = pd.read_parquet(f"{data_dir}/ml-1m/users.parquet")
+        assert {"history", "target", "is_val", "is_test"} <= set(users.columns)
+        row = users.iloc[0]
+        if len(row["history"]) > 0:
+            activity = row["history"][0]
+            assert {"datetime", "rating", "movie_rn", "movie_id", "movie_text"} <= set(
+                activity.keys()
+            )
+
+    def test_movies_parquet_flags(self, data_dir):
+        movies = pd.read_parquet(f"{data_dir}/ml-1m/movies.parquet")
+        assert movies["is_val"].all() and movies["is_predict"].all()
+
+    def test_ratings_parquet_history_ranges(self, data_dir):
+        ratings = pd.read_parquet(f"{data_dir}/ml-1m/ratings.parquet")
+        assert (ratings["hist_stop"] >= ratings["hist_start"]).all()
+
+
+class TestPipeline:
+    @pytest.fixture(scope="class")
+    def dm(self, data_dir):
+        dm = RecDataModule(
+            DataConfig(
+                data_dir=data_dir,
+                batch_size=8,
+                eval_batch_size=4,
+                max_length=16,
+                vocab_size=500,
+                max_positives=8,
+                max_targets=16,
+            )
+        )
+        dm.setup()
+        return dm
+
+    def test_train_batch_shapes(self, dm):
+        batch = next(iter(dm.train_batches()))
+        assert batch["user_tokens"].shape == (8, 16)
+        assert batch["item_tokens"].shape == (8, 16)
+        assert batch["neg_item_tokens"].shape == (8, 16)
+        assert batch["target"].shape == (8,)
+        assert batch["item_idx"].shape == (16,)
+        assert batch["pos_idx"].shape == (8, 8)
+        assert batch["log_q"].shape == (16,)
+        assert (batch["item_idx"] >= 1).all()  # movie_rn, 1-based
+
+    def test_pos_idx_matches_user_train_items(self, dm):
+        """pos_idx rows are the user's train positives (movie_rn, 0-padded),
+        truncated at max_positives. Rows whose user has few enough train
+        items must contain the row's own item."""
+        batch = next(iter(dm.train_batches()))
+        for i in range(8):
+            row = set(batch["pos_idx"][i].tolist())
+            row.discard(0)
+            if len(row) < dm.config.max_positives:  # untruncated user
+                assert int(batch["item_idx"][i]) in row
+            for rn in row:
+                assert 1 <= rn <= dm.num_items
+
+    def test_epoch_reshuffles(self, dm):
+        b0 = next(iter(dm.train_batches(epoch=0)))
+        b1 = next(iter(dm.train_batches(epoch=1)))
+        assert not np.array_equal(b0["target"], b1["target"])
+
+    def test_epoch_deterministic(self, dm):
+        # positives are reproducible per epoch; negatives come from the
+        # continuous MNS stream and advance between calls by design
+        b0 = next(iter(dm.train_batches(epoch=3)))
+        b1 = next(iter(dm.train_batches(epoch=3)))
+        np.testing.assert_array_equal(b0["item_idx"][:8], b1["item_idx"][:8])
+        np.testing.assert_array_equal(b0["target"], b1["target"])
+
+    def test_mns_covers_corpus(self):
+        """The shuffled-cycle sampler visits every item before repeating."""
+        from xfmr_rec_tpu.data.module import NegativeItemSampler
+
+        sampler = NegativeItemSampler(50, seed=1)
+        draws = np.concatenate([sampler.draw(7) for _ in range(22)])
+        assert set(draws[:50].tolist()) == set(range(50))
+        assert set(draws[50:100].tolist()) == set(range(50))
+        # consecutive cycles use different orders
+        assert not np.array_equal(draws[:50], draws[50:100])
+
+    def test_eval_batch_shapes(self, dm):
+        batch = next(iter(dm.eval_batches("val")))
+        assert batch["user_tokens"].shape[0] == 4
+        assert batch["target_ids"].shape == (4, 16)
+        assert batch["target_ratings"].shape == (4, 16)
+        assert batch["valid"].dtype == bool
+
+    def test_eval_targets_are_holdout(self, dm):
+        """Eval targets must be disjoint from the exclusion (train) set."""
+        for batch in dm.eval_batches("val"):
+            for i in range(len(batch["valid"])):
+                if not batch["valid"][i]:
+                    continue
+                excl = set(batch["exclude_positions"][i].tolist())
+                excl.discard(dm.num_items)
+                excl_ids = {int(dm.item_ids[p]) for p in excl}
+                tgts = set(batch["target_ids"][i].tolist())
+                tgts.discard(0)
+                assert not (excl_ids & tgts)
+            break
+
+    def test_val_test_users_disjoint(self, dm):
+        val = set(dm.eval_users("val").tolist())
+        test = set(dm.eval_users("test").tolist())
+        assert not (val & test)
+
+    def test_steps_per_epoch(self, dm):
+        batches = list(dm.train_batches())
+        assert len(batches) == dm.steps_per_epoch
+
+    def test_offline_prepare_falls_back_to_synthetic(self, tmp_path):
+        dm = RecDataModule(
+            DataConfig(
+                data_dir=str(tmp_path / "fresh"),
+                synthetic_users=10,
+                synthetic_movies=20,
+                synthetic_ratings=100,
+                vocab_size=200,
+                max_length=8,
+            )
+        )
+        dm.prepare_data()
+        dm.setup()
+        assert dm.num_items == 20
+        assert dm.num_users == 10

@@ -1,0 +1,179 @@
+"""Retrieval index: exact top-k, exclusions, chunked streaming, persistence."""
+
+import numpy as np
+import pytest
+
+from xfmr_rec_tpu.index import RetrievalIndex, exact_topk
+
+
+def make_corpus(n=64, d=8, seed=0):
+    rng = np.random.default_rng(seed)
+    corpus = rng.normal(size=(n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+    return corpus
+
+
+class TestExactTopK:
+    def test_matches_numpy_argsort(self):
+        corpus = make_corpus()
+        queries = make_corpus(5, 8, seed=1)
+        scores, positions = exact_topk(queries, corpus, 10)
+        ref_scores = queries @ corpus.T
+        for i in range(5):
+            want = np.argsort(-ref_scores[i])[:10]
+            np.testing.assert_array_equal(np.asarray(positions[i]), want)
+            np.testing.assert_allclose(
+                np.asarray(scores[i]), ref_scores[i][want], rtol=1e-5
+            )
+
+    def test_exclusions(self):
+        corpus = make_corpus()
+        queries = make_corpus(3, 8, seed=2)
+        full_scores = queries @ corpus.T
+        best = np.argmax(full_scores, axis=-1)
+        exclude = np.stack([best, np.full(3, 64)], axis=1).astype(np.int32)
+        _, positions = exact_topk(
+            queries, corpus, 10, exclude_positions=exclude
+        )
+        for i in range(3):
+            assert best[i] not in np.asarray(positions[i])
+
+    def test_padding_position_is_noop(self):
+        corpus = make_corpus()
+        queries = make_corpus(3, 8, seed=3)
+        pad = np.full((3, 4), 64, dtype=np.int32)  # all out-of-range
+        s1, p1 = exact_topk(queries, corpus, 5, exclude_positions=pad)
+        s2, p2 = exact_topk(queries, corpus, 5)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    @pytest.mark.parametrize("chunk", [16, 32])
+    def test_chunked_matches_dense(self, chunk):
+        corpus = make_corpus(64, 8)
+        queries = make_corpus(4, 8, seed=4)
+        exclude = np.array(
+            [[0, 64], [5, 64], [64, 64], [10, 11]], dtype=np.int32
+        )
+        s_dense, p_dense = exact_topk(
+            queries, corpus, 7, exclude_positions=exclude
+        )
+        s_chunk, p_chunk = exact_topk(
+            queries, corpus, 7, exclude_positions=exclude, chunk_size=chunk
+        )
+        np.testing.assert_array_equal(np.asarray(p_dense), np.asarray(p_chunk))
+        np.testing.assert_allclose(
+            np.asarray(s_dense), np.asarray(s_chunk), rtol=1e-5
+        )
+
+
+class TestRetrievalIndex:
+    @pytest.fixture(scope="class")
+    def index(self):
+        corpus = make_corpus(32, 8)
+        ids = np.arange(1, 33)  # item ids start at 1
+        meta = [{"text": f"item-{i}"} for i in ids]
+        return RetrievalIndex(corpus, ids, meta, id_col="movie_id")
+
+    def test_search_returns_ids(self, index):
+        queries = make_corpus(2, 8, seed=5)
+        scores, item_ids = index.search(queries, top_k=5)
+        assert scores.shape == (2, 5)
+        assert item_ids.shape == (2, 5)
+        assert (item_ids >= 1).all() and (item_ids <= 32).all()
+        # descending scores
+        assert (np.diff(scores, axis=-1) <= 1e-6).all()
+
+    def test_search_excludes_by_id(self, index):
+        queries = make_corpus(2, 8, seed=6)
+        _, base = index.search(queries, top_k=3)
+        exclude = [list(base[0]), []]
+        _, got = index.search(queries, top_k=3, exclude_ids=exclude)
+        assert not set(base[0]) & set(got[0])
+        np.testing.assert_array_equal(got[1], base[1])
+
+    def test_single_query_vector(self, index):
+        scores, ids = index.search(make_corpus(1, 8, seed=7)[0], top_k=4)
+        assert scores.shape == (1, 4)
+
+    def test_get_id(self, index):
+        row = index.get_id(3)
+        assert row["movie_id"] == 3
+        assert row["text"] == "item-3"
+        assert index.get_id(999) == {}
+        assert index.get_id(None) == {}
+
+    def test_save_load_roundtrip(self, index, tmp_path):
+        index.save(tmp_path / "idx")
+        loaded = RetrievalIndex.load(tmp_path / "idx")
+        queries = make_corpus(2, 8, seed=8)
+        s1, i1 = index.search(queries, top_k=5)
+        s2, i2 = loaded.search(queries, top_k=5)
+        np.testing.assert_array_equal(i1, i2)
+        assert loaded.get_id(3)["text"] == "item-3"
+
+
+class TestMetrics:
+    def test_perfect_predictions(self):
+        from xfmr_rec_tpu.training.metrics import retrieval_metrics
+
+        # user 0: targets [1,2] predicted first — perfect
+        pred = np.array([[1, 2, 9, 8, 7]])
+        tgt = np.array([[1, 2, 0]])
+        ratings = np.array([[5.0, 4.0, 0.0]])
+        m = retrieval_metrics(pred, tgt, ratings, top_k=5)
+        assert float(m["RetrievalRecall"]) == 1.0
+        assert float(m["RetrievalHitRate"]) == 1.0
+        assert float(m["RetrievalMRR"]) == 1.0
+        np.testing.assert_allclose(float(m["RetrievalNormalizedDCG"]), 1.0)
+        np.testing.assert_allclose(float(m["RetrievalMAP"]), 1.0)
+        np.testing.assert_allclose(float(m["RetrievalPrecision"]), 0.4)
+
+    def test_no_hits(self):
+        from xfmr_rec_tpu.training.metrics import retrieval_metrics
+
+        pred = np.array([[7, 8, 9]])
+        tgt = np.array([[1, 2, 0]])
+        ratings = np.array([[5.0, 4.0, 0.0]])
+        m = retrieval_metrics(pred, tgt, ratings, top_k=3)
+        for name in ("RetrievalRecall", "RetrievalNormalizedDCG",
+                     "RetrievalMRR", "RetrievalMAP", "RetrievalHitRate"):
+            assert float(m[name]) == 0.0
+
+    def test_hand_computed_case(self):
+        from xfmr_rec_tpu.training.metrics import retrieval_metrics
+
+        # k=3; targets {1 (r=3), 4 (r=1)}; preds [9, 1, 4]
+        pred = np.array([[9, 1, 4]])
+        tgt = np.array([[1, 4, 0, 0]])
+        ratings = np.array([[3.0, 1.0, 0.0, 0.0]])
+        m = retrieval_metrics(pred, tgt, ratings, top_k=3)
+        # DCG = 3/log2(3) + 1/log2(4) = 3/1.58496 + 0.5
+        dcg = 3 / np.log2(3) + 1 / np.log2(4)
+        idcg = 3 / np.log2(2) + 1 / np.log2(3)
+        np.testing.assert_allclose(
+            float(m["RetrievalNormalizedDCG"]), dcg / idcg, rtol=1e-5
+        )
+        np.testing.assert_allclose(float(m["RetrievalRecall"]), 1.0)
+        np.testing.assert_allclose(float(m["RetrievalPrecision"]), 2 / 3)
+        np.testing.assert_allclose(float(m["RetrievalMRR"]), 0.5)
+        # AP = (prec@2 * 1 + prec@3 * 1) / min(3, 2) = (1/2 + 2/3)/2
+        np.testing.assert_allclose(
+            float(m["RetrievalMAP"]), (0.5 + 2 / 3) / 2, rtol=1e-5
+        )
+
+    def test_invalid_users_excluded_from_mean(self):
+        from xfmr_rec_tpu.training.metrics import retrieval_metrics
+
+        pred = np.array([[1, 2], [3, 4]])
+        tgt = np.array([[1, 0], [0, 0]])  # user 1 has no targets
+        ratings = np.array([[5.0, 0.0], [0.0, 0.0]])
+        m = retrieval_metrics(pred, tgt, ratings, top_k=2)
+        assert float(m["RetrievalRecall"]) == 1.0  # only user 0 counts
+
+    def test_prefix(self):
+        from xfmr_rec_tpu.training.metrics import retrieval_metrics
+
+        m = retrieval_metrics(
+            np.array([[1]]), np.array([[1]]), np.array([[1.0]]),
+            top_k=1, prefix="val/",
+        )
+        assert "val/RetrievalNormalizedDCG" in m

@@ -1,0 +1,146 @@
+"""Serving integration: artifact load, endpoint surface, HTTP transport."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from xfmr_rec_tpu.data import DataConfig, RecDataModule
+from xfmr_rec_tpu.data.prepare import prepare_movielens
+from xfmr_rec_tpu.data.synthetic import generate_movielens
+from xfmr_rec_tpu.serving.engine import RecommenderEngine
+from xfmr_rec_tpu.serving.prepare import test_queries
+from xfmr_rec_tpu.serving.schemas import NotFoundError, Query
+from xfmr_rec_tpu.serving.service import RecService, dispatch, make_server
+from xfmr_rec_tpu.training.module import TrainConfig
+from xfmr_rec_tpu.training.trainer import Trainer, TrainerConfig
+
+TINY_MODEL = dict(
+    hidden_size=32,
+    num_hidden_layers=1,
+    num_attention_heads=4,
+    intermediate_size=32,
+    vocab_size=500,
+    max_position_embeddings=32,
+    max_length=16,
+    compute_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    data_dir = tmp_path_factory.mktemp("servedata")
+    generate_movielens(
+        data_dir, num_users=30, num_movies=80, num_ratings=700, seed=2
+    )
+    prepare_movielens(str(data_dir), overwrite=True)
+    dm = RecDataModule(
+        DataConfig(
+            data_dir=str(data_dir),
+            batch_size=8,
+            max_length=16,
+            vocab_size=500,
+        )
+    )
+    trainer = Trainer(
+        TrainConfig(**TINY_MODEL),
+        data=dm,
+        trainer_config=TrainerConfig(
+            max_steps=3,
+            log_dir=str(tmp_path_factory.mktemp("serveruns")),
+            limit_val_batches=1,
+        ),
+    )
+    trainer.fit()
+    path = tmp_path_factory.mktemp("artifact") / "model"
+    trainer.save(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def service(artifact):
+    return RecService(RecommenderEngine(artifact))
+
+
+class TestEndpoints:
+    def test_golden_values(self, service):
+        test_queries(service)
+
+    def test_not_found(self, service):
+        with pytest.raises(NotFoundError):
+            service.item_id(99999)
+        with pytest.raises(NotFoundError):
+            service.user_id(99999)
+
+    def test_embed_deterministic(self, service):
+        a = service.embed_query(Query(text="comedy drama"))
+        b = service.embed_query(Query(text="comedy drama"))
+        assert a.embedding == b.embedding
+
+    def test_search_with_embedding_skips_encode(self, service):
+        q = service.embed_query(Query(text="action"))
+        result = service.search_items(q, top_k=3)
+        assert len(result) == 3
+
+    def test_exclusions_respected(self, service):
+        base = service.recommend_with_query(Query(text="comedy"), top_k=5)
+        exclude = [c.movie_id for c in base[:2]]
+        got = service.recommend_with_query(
+            Query(text="comedy"), exclude_item_ids=exclude, top_k=5
+        )
+        assert not set(exclude) & {c.movie_id for c in got}
+
+    def test_dispatch_unknown_endpoint(self, service):
+        with pytest.raises(KeyError):
+            dispatch(service, "drop_tables", {})
+
+
+class TestHTTP:
+    @pytest.fixture(scope="class")
+    def server(self, service):
+        server = make_server(service, port=0)  # ephemeral port
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        yield server
+        server.shutdown()
+
+    def _post(self, server, endpoint, payload):
+        port = server.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/{endpoint}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as err:
+            return err.code, json.loads(err.read())
+
+    def test_recommend_roundtrip(self, server):
+        status, body = self._post(
+            server, "recommend_with_user_id", {"user_id": 1, "top_k": 4}
+        )
+        assert status == 200
+        assert len(body) == 4
+        assert {"movie_id", "movie_text", "score"} <= set(body[0])
+
+    def test_item_lookup(self, server):
+        status, body = self._post(server, "item_id", {"item_id": 1})
+        assert status == 200
+        assert body["movie_id"] == 1
+
+    def test_404_unknown_item(self, server):
+        status, body = self._post(server, "item_id", {"item_id": 99999})
+        assert status == 404
+        assert "error" in body
+
+    def test_404_unknown_endpoint(self, server):
+        status, _ = self._post(server, "nope", {})
+        assert status == 404
+
+    def test_model_meta(self, server):
+        status, body = self._post(server, "model_name", {})
+        assert status == 200 and body == "xfmr_rec_tpu"

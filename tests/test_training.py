@@ -1,0 +1,196 @@
+"""End-to-end training slice: train step, eval, checkpointing, artifact."""
+
+import numpy as np
+import pytest
+
+from xfmr_rec_tpu.data import DataConfig, RecDataModule
+from xfmr_rec_tpu.data.prepare import prepare_movielens
+from xfmr_rec_tpu.data.synthetic import generate_movielens
+from xfmr_rec_tpu.training.module import (
+    TrainConfig,
+    create_train_state,
+    make_train_step,
+)
+from xfmr_rec_tpu.training.trainer import Trainer, TrainerConfig
+
+TINY_MODEL = dict(
+    hidden_size=32,
+    num_hidden_layers=1,
+    num_attention_heads=4,
+    intermediate_size=32,
+    vocab_size=500,
+    max_position_embeddings=32,
+    max_length=16,
+    compute_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    path = tmp_path_factory.mktemp("traindata")
+    generate_movielens(
+        path, num_users=40, num_movies=120, num_ratings=1200, seed=1
+    )
+    prepare_movielens(str(path), overwrite=True)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def dm(data_dir):
+    dm = RecDataModule(
+        DataConfig(
+            data_dir=data_dir,
+            batch_size=8,
+            eval_batch_size=16,
+            max_length=16,
+            vocab_size=500,
+            max_positives=16,
+            max_targets=32,
+        )
+    )
+    dm.setup()
+    return dm
+
+
+class TestTrainStep:
+    def test_losses_decrease_on_overfit(self, dm):
+        """A few steps on one repeated batch must reduce the train loss."""
+        import jax
+
+        config = TrainConfig(**TINY_MODEL, learning_rate=0.01)
+        _, state = create_train_state(config, rng=0)
+        step = jax.jit(make_train_step(config))
+        batch = next(iter(dm.train_batches()))
+        first = None
+        for _ in range(15):
+            state, metrics = step(state, batch)
+            if first is None:
+                first = float(metrics["train/PairwiseHingeLoss"])
+        last = float(metrics["train/PairwiseHingeLoss"])
+        assert last < first
+
+    def test_all_losses_logged(self, dm):
+        import jax
+
+        config = TrainConfig(**TINY_MODEL)
+        _, state = create_train_state(config, rng=0)
+        step = jax.jit(make_train_step(config))
+        _, metrics = step(state, next(iter(dm.train_batches())))
+        for name in (
+            "AlignmentLoss", "ContrastiveLoss", "AlignmentContrastiveLoss",
+            "InfomationNoiseContrastiveEstimationLoss",
+            "MutualInformationNeuralEstimationLoss",
+            "PairwiseHingeLoss", "PairwiseLogisticLoss",
+        ):
+            assert np.isfinite(float(metrics[f"train/{name}"]))
+        assert float(metrics["train/grad_norm"]) > 0
+
+    @pytest.mark.parametrize(
+        "loss_name",
+        ["InfomationNoiseContrastiveEstimationLoss", "PairwiseLogisticLoss"],
+    )
+    def test_alternate_train_losses(self, dm, loss_name):
+        import jax
+
+        config = TrainConfig(**TINY_MODEL, train_loss=loss_name)
+        _, state = create_train_state(config, rng=0)
+        step = jax.jit(make_train_step(config))
+        new_state, metrics = step(state, next(iter(dm.train_batches())))
+        assert np.isfinite(float(metrics[f"train/{loss_name}"]))
+
+    def test_logq_correction_train_step(self, dm):
+        import jax
+
+        config = TrainConfig(
+            **TINY_MODEL,
+            train_loss="InfomationNoiseContrastiveEstimationLoss",
+            use_logq_correction=True,
+        )
+        _, state = create_train_state(config, rng=0)
+        step = jax.jit(make_train_step(config))
+        _, metrics = step(state, next(iter(dm.train_batches())))
+        assert np.isfinite(
+            float(metrics["train/InfomationNoiseContrastiveEstimationLoss"])
+        )
+
+
+class TestTrainerLoop:
+    @pytest.fixture(scope="class")
+    def trained(self, dm, tmp_path_factory):
+        log_dir = tmp_path_factory.mktemp("runs")
+        trainer = Trainer(
+            TrainConfig(**TINY_MODEL, learning_rate=0.003),
+            data=dm,
+            trainer_config=TrainerConfig(
+                max_epochs=2,
+                log_dir=str(log_dir),
+                run_name="t1",
+                log_every_steps=10,
+                encode_batch_size=64,
+            ),
+        )
+        final = trainer.fit()
+        return trainer, final
+
+    def test_fit_produces_val_metrics(self, trained):
+        _, final = trained
+        assert "val/RetrievalNormalizedDCG" in final
+        assert 0.0 <= final["val/RetrievalNormalizedDCG"] <= 1.0
+        assert final["val/RetrievalHitRate"] >= 0.0
+
+    def test_learns_above_chance(self, trained):
+        """Synthetic data has archetype structure; hit rate must beat the
+        ~uniform-random baseline (k/num_items ~ 17%)."""
+        trainer, final = trained
+        assert final["val/RetrievalHitRate"] > 0.25
+
+    def test_metrics_jsonl_written(self, trained):
+        trainer, _ = trained
+        jsonl = trainer.logger.log_dir / "metrics.jsonl"
+        assert jsonl.exists()
+        assert len(jsonl.read_text().strip().splitlines()) > 1
+
+    def test_test_split_eval(self, trained):
+        trainer, _ = trained
+        metrics = trainer.test()
+        assert "test/RetrievalNormalizedDCG" in metrics
+
+    def test_recommend_excludes(self, trained):
+        trainer, _ = trained
+        text = trainer.data.user_texts[0]
+        recs = trainer.recommend([text], top_k=5)[0]
+        assert len(recs) == 5
+        assert all("movie_id" in r and "score" in r for r in recs)
+        exclude = [r["movie_id"] for r in recs[:3]]
+        recs2 = trainer.recommend([text], top_k=5, exclude_ids=[exclude])[0]
+        assert not set(exclude) & {r["movie_id"] for r in recs2}
+
+    def test_checkpoint_roundtrip(self, trained, dm, tmp_path_factory):
+        trainer, _ = trained
+        trainer.save_checkpoint("roundtrip")
+        fresh = Trainer(
+            TrainConfig(**TINY_MODEL, learning_rate=0.003),
+            data=dm,
+            trainer_config=TrainerConfig(
+                log_dir=str(tmp_path_factory.mktemp("runs2")),
+                run_name="t2",
+                ckpt_dir=str(trainer._ckpt_path("roundtrip").parent),
+            ),
+        )
+        fresh.restore_checkpoint("roundtrip")
+        assert fresh.global_step == trainer.global_step
+        import jax
+
+        a = jax.tree.leaves(trainer.state.params)
+        b = jax.tree.leaves(fresh.state.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_artifact_save(self, trained, tmp_path_factory):
+        trainer, _ = trained
+        path = tmp_path_factory.mktemp("artifact") / "model"
+        trainer.save(path)
+        assert (path / "encoder.msgpack").exists()
+        assert (path / "processors.json").exists()
+        assert (path / "index" / "corpus.npz").exists()
+        assert (path / "users.parquet").exists()

@@ -1,0 +1,330 @@
+"""Fixed-shape batch pipeline + data module facade.
+
+Replaces the reference's datapipe/DataLoader stack
+(/root/reference/xfmr_rec/data/lightning.py:79-471 and data/load.py):
+processors assembling parquet -> cycle -> shuffle -> batch -> collate
+streams with multiprocess workers. On TPU the idiomatic pipeline is
+different: **tokenize every unique text once at setup**, keep token
+matrices as host numpy arrays, and emit fixed-shape integer batches that
+gather rows by index — no per-step tokenization, no ragged collation, no
+worker processes (the reference's pad-to-512-per-step hot spot disappears).
+
+Parity notes:
+- Training stream = interactions filtered is_train, reshuffled each epoch,
+  zipped with an infinitely cycled, reshuffled item stream providing one
+  uniform corpus negative per positive — the reference's mixed negative
+  sampling (data/lightning.py:344-354).
+- `pos_idx` per row = the user's *train-half* positive item row-numbers
+  (the reference joins the per-(user, is_train) target list onto every
+  rating row — prepare.py:236-241 — so during training the mask covers all
+  of the user's train positives). 0-padded, width `max_positives`.
+- Eval batches are per-user: exclusion set = the user's train history
+  (lightning.py:89-90), targets = the holdout with graded ratings.
+- LogQ extension: per-batch candidate sampling log-probabilities
+  (frequency-based for in-batch positives, uniform for sampled corpus
+  negatives) for the sampled-softmax bias correction.
+"""
+
+from __future__ import annotations
+
+import logging
+import pathlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pydantic
+
+from xfmr_rec_tpu.data import prepare as prepare_mod
+from xfmr_rec_tpu.models.tokenizer import HashingTokenizer, TokenizerConfig
+from xfmr_rec_tpu.params import BATCH_SIZE, DATA_DIR
+
+logger = logging.getLogger(__name__)
+
+
+class DataConfig(pydantic.BaseModel):
+    data_dir: str = DATA_DIR
+    batch_size: int = BATCH_SIZE
+    eval_batch_size: int = 256
+    max_length: int = 64
+    vocab_size: int = 30522
+    max_positives: int = 32
+    max_targets: int = 256
+    seed: int = 0
+    # offline fallback: generate a synthetic corpus when raw data is absent
+    synthetic_if_missing: bool = True
+    synthetic_users: int = 120
+    synthetic_movies: int = 200
+    synthetic_ratings: int = 4000
+
+
+class NegativeItemSampler:
+    """Infinite shuffled cycle over item positions (mixed negative sampling).
+
+    Equivalent to the reference's `.cycle(count=0).shuffle()` item datapipe
+    zipped with the interaction stream (data/lightning.py:344-354): each
+    pass visits every item once in a fresh random order.
+    """
+
+    def __init__(self, num_items: int, seed: int = 0) -> None:
+        self.num_items = num_items
+        self.rng = np.random.default_rng(seed)
+        self._order = self.rng.permutation(num_items)
+        self._cursor = 0
+
+    def draw(self, count: int) -> np.ndarray:
+        out = np.empty(count, dtype=np.int64)
+        filled = 0
+        while filled < count:
+            take = min(count - filled, self.num_items - self._cursor)
+            out[filled : filled + take] = self._order[
+                self._cursor : self._cursor + take
+            ]
+            filled += take
+            self._cursor += take
+            if self._cursor >= self.num_items:
+                self._order = self.rng.permutation(self.num_items)
+                self._cursor = 0
+        return out
+
+
+def _pad_rows(rows: list[np.ndarray], width: int, fill: int) -> np.ndarray:
+    out = np.full((len(rows), width), fill, dtype=np.int64)
+    for i, row in enumerate(rows):
+        n = min(len(row), width)
+        out[i, :n] = row[:n]
+    return out
+
+
+class RecDataModule:
+    """Owns ETL, tokenization, and batch iterators for train/val/test."""
+
+    def __init__(self, config: DataConfig | None = None, **kwargs) -> None:
+        if config is None:
+            config = DataConfig(**kwargs)
+        self.config = DataConfig.model_validate(config)
+        self.tokenizer = HashingTokenizer(
+            TokenizerConfig(
+                vocab_size=self.config.vocab_size,
+                max_length=self.config.max_length,
+            )
+        )
+        self._ready = False
+
+    # ------------------------------------------------------------------
+    def prepare_data(self, *, overwrite: bool = False) -> None:
+        """ETL to parquet (downloads or synthesizes raw data if absent)."""
+        cfg = self.config
+        raw_dir = pathlib.Path(cfg.data_dir, "ml-1m")
+        if not (raw_dir / "ratings.dat").exists():
+            try:
+                prepare_mod.download_unpack_data(dest_dir=cfg.data_dir)
+            except RuntimeError:
+                if not cfg.synthetic_if_missing:
+                    raise
+                from xfmr_rec_tpu.data.synthetic import generate_movielens
+
+                logger.warning(
+                    "raw data unavailable; generating synthetic corpus"
+                )
+                generate_movielens(
+                    cfg.data_dir,
+                    num_users=cfg.synthetic_users,
+                    num_movies=cfg.synthetic_movies,
+                    num_ratings=cfg.synthetic_ratings,
+                    seed=cfg.seed,
+                )
+        prepare_mod.prepare_movielens(cfg.data_dir, overwrite=overwrite)
+
+    # ------------------------------------------------------------------
+    def setup(self) -> None:
+        """Load parquet, tokenize all texts once, build index arrays."""
+        if self._ready:
+            return
+        cfg = self.config
+        base = pathlib.Path(cfg.data_dir, "ml-1m")
+        movies = pd.read_parquet(base / "movies.parquet")
+        users = pd.read_parquet(base / "users.parquet")
+        ratings = pd.read_parquet(base / "ratings.parquet")
+
+        # items: position p corresponds to movie_rn p+1 (row-number order)
+        movies = movies.sort_values("movie_rn").reset_index(drop=True)
+        self.item_ids = movies["movie_id"].to_numpy()
+        self.item_rns = movies["movie_rn"].to_numpy()
+        self.item_texts = movies["movie_text"].tolist()
+        self.item_tokens = self.tokenizer.encode_batch(self.item_texts)
+        self.num_items = len(movies)
+
+        users = users.sort_values("user_rn").reset_index(drop=True)
+        self.user_ids = users["user_id"].to_numpy()
+        self.user_rns = users["user_rn"].to_numpy()
+        self.user_texts = users["user_text"].tolist()
+        self.user_tokens = self.tokenizer.encode_batch(self.user_texts)
+        self.users_frame = users
+        self.num_users = len(users)
+
+        user_pos_of_id = {int(u): p for p, u in enumerate(self.user_ids)}
+        item_pos_of_id = {int(m): p for p, m in enumerate(self.item_ids)}
+
+        # interaction arrays
+        self.train_user_pos = np.array(
+            [user_pos_of_id[u] for u in ratings.loc[ratings["is_train"], "user_id"]],
+            dtype=np.int64,
+        )
+        self.train_item_pos = np.array(
+            [item_pos_of_id[m] for m in ratings.loc[ratings["is_train"], "movie_id"]],
+            dtype=np.int64,
+        )
+        self.train_rating = ratings.loc[
+            ratings["is_train"], "rating"
+        ].to_numpy(dtype=np.float32)
+
+        # per-user train positives (item row-numbers, for pos_idx) and
+        # train item positions (for eval exclusion)
+        train_items_by_user: dict[int, list[int]] = {}
+        for upos, ipos in zip(self.train_user_pos, self.train_item_pos):
+            train_items_by_user.setdefault(int(upos), []).append(int(ipos))
+        self._train_items_by_user = train_items_by_user
+
+        pos_rows = [
+            np.asarray(train_items_by_user.get(u, []), dtype=np.int64) + 1
+            for u in range(self.num_users)
+        ]  # +1: positions -> movie_rn
+        self.user_pos_idx = _pad_rows(pos_rows, cfg.max_positives, 0)
+
+        # holdout targets per user, sorted by rating desc (cap-safe idcg)
+        holdout = ratings.loc[~ratings["is_train"]]
+        target_ids: list[np.ndarray] = [
+            np.zeros(0, dtype=np.int64) for _ in range(self.num_users)
+        ]
+        target_ratings: list[np.ndarray] = [
+            np.zeros(0, dtype=np.float64) for _ in range(self.num_users)
+        ]
+        for user_id, group in holdout.groupby("user_id"):
+            upos = user_pos_of_id[int(user_id)]
+            order = np.argsort(-group["rating"].to_numpy(), kind="stable")
+            target_ids[upos] = group["movie_id"].to_numpy()[order]
+            target_ratings[upos] = group["rating"].to_numpy()[order]
+        self._target_ids = target_ids
+        self._target_ratings = target_ratings
+        self.target_counts = np.array(
+            [len(t) for t in target_ids], dtype=np.int64
+        )
+
+        # subset membership per user
+        self.user_subsets = {
+            name: users[name].to_numpy()
+            for name in ("is_train", "is_val", "is_test", "is_predict")
+        }
+
+        # item sampling log-probabilities for LogQ correction
+        counts = np.bincount(self.train_item_pos, minlength=self.num_items)
+        freq = (counts + 1.0) / (counts.sum() + self.num_items)
+        self.item_log_q_inbatch = np.log(freq).astype(np.float32)
+        self.item_log_q_uniform = np.full(
+            self.num_items, -np.log(self.num_items), dtype=np.float32
+        )
+
+        self._neg_sampler = NegativeItemSampler(self.num_items, cfg.seed)
+        self._ready = True
+        logger.info(
+            "data ready: %d users, %d items, %d train interactions",
+            self.num_users,
+            self.num_items,
+            len(self.train_user_pos),
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def steps_per_epoch(self) -> int:
+        return len(self.train_user_pos) // self.config.batch_size
+
+    def train_batches(self, epoch: int = 0) -> Iterator[dict[str, np.ndarray]]:
+        """Shuffled fixed-shape training batches with MNS negatives."""
+        cfg = self.config
+        rng = np.random.default_rng((cfg.seed, epoch))
+        order = rng.permutation(len(self.train_user_pos))
+        batch = cfg.batch_size
+        for start in range(0, len(order) - batch + 1, batch):
+            take = order[start : start + batch]
+            upos = self.train_user_pos[take]
+            ipos = self.train_item_pos[take]
+            neg_pos = self._neg_sampler.draw(batch)
+            item_idx = np.concatenate([ipos, neg_pos]) + 1  # movie_rn
+            log_q = np.concatenate(
+                [
+                    self.item_log_q_inbatch[ipos],
+                    self.item_log_q_uniform[neg_pos],
+                ]
+            )
+            yield {
+                "user_tokens": self.user_tokens[upos],
+                "item_tokens": self.item_tokens[ipos],
+                "neg_item_tokens": self.item_tokens[neg_pos],
+                "target": self.train_rating[take],
+                "item_idx": item_idx.astype(np.int64),
+                "pos_idx": self.user_pos_idx[upos],
+                "log_q": log_q,
+            }
+
+    # ------------------------------------------------------------------
+    def eval_users(self, subset: str) -> np.ndarray:
+        """User positions belonging to an eval subset."""
+        mask = self.user_subsets[f"is_{subset}"] & (self.target_counts > 0)
+        if subset == "predict":
+            mask = self.user_subsets["is_predict"]
+        return np.flatnonzero(mask)
+
+    def eval_batches(
+        self, subset: str = "val"
+    ) -> Iterator[dict[str, np.ndarray]]:
+        """Per-user eval batches: tokens + exclusions + padded targets.
+
+        Fixed batch shape: the last batch is padded with repeats and
+        carries a `valid` mask.
+        """
+        cfg = self.config
+        users = self.eval_users(subset)
+        batch = cfg.eval_batch_size
+        max_hist = max(
+            (len(self._train_items_by_user.get(int(u), [])) for u in users),
+            default=1,
+        )
+        max_hist = max(max_hist, 1)
+        for start in range(0, len(users), batch):
+            take = users[start : start + batch]
+            valid = np.ones(len(take), dtype=bool)
+            if len(take) < batch:  # pad final batch to fixed shape
+                pad = np.full(batch - len(take), take[-1])
+                valid = np.concatenate(
+                    [valid, np.zeros(batch - len(take), dtype=bool)]
+                )
+                take = np.concatenate([take, pad])
+            exclude = _pad_rows(
+                [
+                    np.asarray(
+                        self._train_items_by_user.get(int(u), []),
+                        dtype=np.int64,
+                    )
+                    for u in take
+                ],
+                max_hist,
+                self.num_items,  # out-of-range => dropped by scatter
+            )
+            target_ids = _pad_rows(
+                [self._target_ids[u] for u in take], cfg.max_targets, 0
+            )
+            ratings = np.zeros(
+                (batch, cfg.max_targets), dtype=np.float32
+            )
+            for i, u in enumerate(take):
+                r = self._target_ratings[u][: cfg.max_targets]
+                ratings[i, : len(r)] = r
+            yield {
+                "user_pos": take,
+                "user_tokens": self.user_tokens[take],
+                "exclude_positions": exclude,
+                "target_ids": target_ids,
+                "target_ratings": ratings,
+                "valid": valid,
+            }

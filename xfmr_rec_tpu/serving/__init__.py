@@ -1,0 +1,6 @@
+"""Serving: artifact-backed query engine + HTTP service."""
+
+from xfmr_rec_tpu.serving.engine import RecommenderEngine
+from xfmr_rec_tpu.serving.service import RecService
+
+__all__ = ["RecService", "RecommenderEngine"]

@@ -1,0 +1,170 @@
+"""Artifact-backed recommendation engine: the jitted serving compute path.
+
+Replaces the reference's BentoML service internals — ONNX
+sentence-transformer Embedder + LanceDB processors
+(/root/reference/xfmr_rec/bentoml/service.py:82-181) — with one process:
+the flax encoder (jit, batched) and the HBM MIPS index. Loads the artifact
+written by `Trainer.save` (encoder.msgpack + processors.json + index/ +
+users.parquet).
+
+Components mirror the reference service decomposition:
+- Embedder      : embed(text) -> unit-norm embedding
+- item store    : search / get_id / process
+- user store    : get_id / process / activity lookups
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Any
+
+import jax
+import numpy as np
+
+from xfmr_rec_tpu.index.mips import RetrievalIndex
+from xfmr_rec_tpu.models.encoder import ModelConfig, TextEncoder
+from xfmr_rec_tpu.models.tokenizer import HashingTokenizer, TokenizerConfig
+from xfmr_rec_tpu.params import PROCESSORS_JSON, TOP_K
+from xfmr_rec_tpu.serving.schemas import (
+    ItemCandidate,
+    ItemQuery,
+    NotFoundError,
+    Query,
+    UserQuery,
+)
+
+
+def _activity_list(raw: Any) -> list[dict]:
+    if raw is None:
+        return []
+    if isinstance(raw, np.ndarray):
+        raw = raw.tolist()
+    return [dict(entry) for entry in raw]
+
+
+class RecommenderEngine:
+    def __init__(self, artifact_dir: str | pathlib.Path) -> None:
+        from flax import serialization
+
+        path = pathlib.Path(artifact_dir)
+        manifest = json.loads((path / PROCESSORS_JSON).read_text())
+        self.manifest = manifest
+        self.model_config = ModelConfig.model_validate(manifest["model"])
+        data_config = manifest.get("data", {})
+        self.tokenizer = HashingTokenizer(
+            TokenizerConfig(
+                vocab_size=data_config.get(
+                    "vocab_size", self.model_config.vocab_size
+                ),
+                max_length=data_config.get(
+                    "max_length", self.model_config.max_length
+                ),
+            )
+        )
+        self.model = TextEncoder(self.model_config)
+        dummy = np.zeros((1, self.tokenizer.config.max_length), np.int32)
+        template = self.model.init(
+            {"params": jax.random.PRNGKey(0)}, dummy, deterministic=True
+        )["params"]
+        self.params = serialization.from_bytes(
+            template, (path / "encoder.msgpack").read_bytes()
+        )
+        self.index = RetrievalIndex.load(path / "index")
+
+        import pandas as pd
+
+        users = pd.read_parquet(path / "users.parquet")
+        self._users_by_id: dict[int, dict] = {}
+        for row in users.to_dict("records"):
+            self._users_by_id[int(row["user_id"])] = row
+
+        self._encode = jax.jit(
+            lambda params, tokens: self.model.apply(
+                {"params": params}, tokens, deterministic=True
+            )
+        )
+
+    # ------------------------------------------------------------------
+    # Embedder
+    # ------------------------------------------------------------------
+    def embed(self, texts: list[str]) -> np.ndarray:
+        tokens = self.tokenizer.encode_batch(texts)
+        return np.asarray(self._encode(self.params, tokens))
+
+    def embed_query(self, query: Query) -> Query:
+        embedding = self.embed([query.text])[0]
+        return Query(text=query.text, embedding=embedding.tolist())
+
+    # ------------------------------------------------------------------
+    # item store
+    # ------------------------------------------------------------------
+    def search_items(
+        self,
+        query: Query,
+        exclude_item_ids: list[int] | None = None,
+        top_k: int = TOP_K,
+    ) -> list[ItemCandidate]:
+        if query.embedding is None:
+            query = self.embed_query(query)
+        embedding = np.asarray(query.embedding, dtype=np.float32)
+        scores, item_ids = self.index.search(
+            embedding,
+            top_k=top_k,
+            exclude_ids=[list(exclude_item_ids or [])],
+        )
+        return [
+            ItemCandidate(
+                movie_id=int(item_id),
+                movie_text=str(
+                    self.index.get_id(int(item_id)).get("movie_text", "")
+                ),
+                score=float(score),
+            )
+            for score, item_id in zip(scores[0], item_ids[0])
+        ]
+
+    def get_item(self, item_id: int) -> ItemQuery:
+        row = self.index.get_id(item_id)
+        if not row:
+            msg = f"item not found: {item_id=}"
+            raise NotFoundError(msg)
+        return ItemQuery(
+            movie_rn=int(row.get("movie_rn", 0)),
+            movie_id=int(row["movie_id"]),
+            movie_text=str(row.get("movie_text", "")),
+        )
+
+    def process_item(self, item: ItemQuery) -> Query:
+        return Query(text=item.movie_text)
+
+    # ------------------------------------------------------------------
+    # user store
+    # ------------------------------------------------------------------
+    def get_user(self, user_id: int) -> UserQuery:
+        row = self._users_by_id.get(int(user_id))
+        if row is None:
+            msg = f"user not found: {user_id=}"
+            raise NotFoundError(msg)
+        return UserQuery(
+            user_rn=int(row["user_rn"]),
+            user_id=int(row["user_id"]),
+            user_text=str(row["user_text"]),
+            history=_activity_list(row.get("history")),
+            target=_activity_list(row.get("target")),
+        )
+
+    def process_user(self, user: UserQuery) -> Query:
+        return Query(text=user.user_text)
+
+    def user_activity(
+        self, user_id: int, activity_name: str
+    ) -> dict[int, int]:
+        """{movie_id: rating} for a user's history or target."""
+        row = self._users_by_id.get(int(user_id))
+        if row is None:
+            return {}
+        return {
+            int(entry["movie_id"]): int(entry["rating"])
+            for entry in _activity_list(row.get(activity_name))
+        }

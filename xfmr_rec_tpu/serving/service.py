@@ -1,0 +1,257 @@
+"""Recommendation service: the full endpoint surface + stdlib HTTP server.
+
+Endpoint parity with the reference composite BentoML Service
+(/root/reference/xfmr_rec/bentoml/service.py:184-311):
+recommend_with_query / embed_query / search_items / recommend_with_item /
+process_item / recommend_with_item_id / item_id / recommend_with_user /
+process_user / recommend_with_user_id / user_id / model_name /
+model_version — same auto-exclusion behavior (item excludes itself;
+user excludes history + target).
+
+The transport is a stdlib ThreadingHTTPServer speaking JSON POST (BentoML
+is not in this image); `RecService` itself is transport-free and is driven
+in-process by the integration tests, mirroring the reference's ASGI
+TestClient pattern (bentoml/prepare.py:60-72).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from xfmr_rec_tpu.params import MODEL_NAME, TOP_K
+from xfmr_rec_tpu.serving.engine import RecommenderEngine
+from xfmr_rec_tpu.serving.schemas import (
+    ItemCandidate,
+    ItemQuery,
+    NotFoundError,
+    Query,
+    UserQuery,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class RecService:
+    def __init__(
+        self, engine: RecommenderEngine, model_version_str: str = "latest"
+    ) -> None:
+        self.engine = engine
+        self._version = model_version_str
+
+    # -- embedding / search -------------------------------------------
+    def embed_query(self, query: Query) -> Query:
+        return self.engine.embed_query(query)
+
+    def search_items(
+        self,
+        query: Query,
+        exclude_item_ids: list[int] | None = None,
+        top_k: int = TOP_K,
+    ) -> list[ItemCandidate]:
+        return self.engine.search_items(
+            query, exclude_item_ids=exclude_item_ids or [], top_k=top_k
+        )
+
+    def recommend_with_query(
+        self,
+        query: Query,
+        exclude_item_ids: list[int] | None = None,
+        top_k: int = TOP_K,
+    ) -> list[ItemCandidate]:
+        query = self.embed_query(query)
+        return self.search_items(
+            query, exclude_item_ids=exclude_item_ids, top_k=top_k
+        )
+
+    # -- items ---------------------------------------------------------
+    def item_id(self, item_id: int) -> ItemQuery:
+        return self.engine.get_item(item_id)
+
+    def process_item(self, item: ItemQuery) -> Query:
+        return self.engine.process_item(item)
+
+    def recommend_with_item(
+        self,
+        item: ItemQuery,
+        exclude_item_ids: list[int] | None = None,
+        top_k: int = TOP_K,
+    ) -> list[ItemCandidate]:
+        if item.movie_id:
+            exclude_item_ids = [*(exclude_item_ids or []), item.movie_id]
+        query = self.process_item(item)
+        return self.recommend_with_query(
+            query, exclude_item_ids=exclude_item_ids, top_k=top_k
+        )
+
+    def recommend_with_item_id(
+        self,
+        item_id: int,
+        exclude_item_ids: list[int] | None = None,
+        top_k: int = TOP_K,
+    ) -> list[ItemCandidate]:
+        item = self.item_id(item_id)
+        return self.recommend_with_item(
+            item, exclude_item_ids=exclude_item_ids, top_k=top_k
+        )
+
+    # -- users ---------------------------------------------------------
+    def user_id(self, user_id: int) -> UserQuery:
+        return self.engine.get_user(user_id)
+
+    def process_user(self, user: UserQuery) -> Query:
+        return self.engine.process_user(user)
+
+    def recommend_with_user(
+        self,
+        user: UserQuery,
+        exclude_item_ids: list[int] | None = None,
+        top_k: int = TOP_K,
+    ) -> list[ItemCandidate]:
+        exclude_item_ids = list(exclude_item_ids or [])
+        if user.history:
+            exclude_item_ids += [a.movie_id for a in user.history]
+        if user.target:
+            exclude_item_ids += [a.movie_id for a in user.target]
+        query = self.process_user(user)
+        return self.recommend_with_query(
+            query, exclude_item_ids=exclude_item_ids, top_k=top_k
+        )
+
+    def recommend_with_user_id(
+        self,
+        user_id: int,
+        exclude_item_ids: list[int] | None = None,
+        top_k: int = TOP_K,
+    ) -> list[ItemCandidate]:
+        user = self.user_id(user_id)
+        return self.recommend_with_user(
+            user, exclude_item_ids=exclude_item_ids, top_k=top_k
+        )
+
+    # -- meta ----------------------------------------------------------
+    def model_name(self) -> str:
+        return MODEL_NAME
+
+    def model_version(self) -> str:
+        return self._version
+
+
+# ---------------------------------------------------------------------------
+# JSON-over-HTTP transport
+# ---------------------------------------------------------------------------
+_ENDPOINTS = {
+    "embed_query": (("query", Query),),
+    "search_items": (
+        ("query", Query),
+        ("exclude_item_ids", None),
+        ("top_k", None),
+    ),
+    "recommend_with_query": (
+        ("query", Query),
+        ("exclude_item_ids", None),
+        ("top_k", None),
+    ),
+    "item_id": (("item_id", None),),
+    "process_item": (("item", ItemQuery),),
+    "recommend_with_item": (
+        ("item", ItemQuery),
+        ("exclude_item_ids", None),
+        ("top_k", None),
+    ),
+    "recommend_with_item_id": (
+        ("item_id", None),
+        ("exclude_item_ids", None),
+        ("top_k", None),
+    ),
+    "user_id": (("user_id", None),),
+    "process_user": (("user", UserQuery),),
+    "recommend_with_user": (
+        ("user", UserQuery),
+        ("exclude_item_ids", None),
+        ("top_k", None),
+    ),
+    "recommend_with_user_id": (
+        ("user_id", None),
+        ("exclude_item_ids", None),
+        ("top_k", None),
+    ),
+    "model_name": (),
+    "model_version": (),
+}
+
+
+def dispatch(service: RecService, endpoint: str, payload: dict) -> Any:
+    """Route one JSON request body to a service method (shared by the HTTP
+    handler and in-process tests)."""
+    if endpoint not in _ENDPOINTS:
+        msg = f"unknown endpoint: {endpoint}"
+        raise KeyError(msg)
+    kwargs = {}
+    for name, schema in _ENDPOINTS[endpoint]:
+        if name in payload:
+            value = payload[name]
+            kwargs[name] = (
+                schema.model_validate(value) if schema is not None else value
+            )
+    result = getattr(service, endpoint)(**kwargs)
+    return _serialize(result)
+
+
+def _serialize(result: Any) -> Any:
+    if isinstance(result, list):
+        return [_serialize(x) for x in result]
+    if hasattr(result, "model_dump"):
+        return result.model_dump()
+    return result
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: RecService  # set by make_server
+
+    def do_POST(self) -> None:  # noqa: N802 — http.server API
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length) if length else b"{}"
+        endpoint = self.path.strip("/")
+        try:
+            payload = json.loads(body or b"{}")
+            result = dispatch(self.service, endpoint, payload)
+            self._reply(200, result)
+        except KeyError:
+            self._reply(404, {"error": f"unknown endpoint {endpoint}"})
+        except NotFoundError as exc:
+            self._reply(404, {"error": str(exc)})
+        except Exception as exc:  # noqa: BLE001 — error boundary
+            logger.exception("error handling %s", endpoint)
+            self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    def _reply(self, status: int, payload: Any) -> None:
+        data = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, fmt: str, *args: Any) -> None:
+        logger.debug(fmt, *args)
+
+
+def make_server(
+    service: RecService, host: str = "127.0.0.1", port: int = 8000
+) -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_forever(
+    service: RecService, host: str = "0.0.0.0", port: int = 8000  # noqa: S104
+) -> None:
+    server = make_server(service, host, port)
+    logger.info("serving on %s:%d", host, port)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    thread.join()

@@ -1,0 +1,163 @@
+"""Training module: configs, train state, jitted train/eval steps.
+
+Functional equivalent of the reference LightningModule
+(/root/reference/xfmr_rec/lightning.py:46-328) re-designed for JAX:
+
+- `TrainConfig` extends the encoder config with the training knobs and
+  keeps the reference's trained-config defaults (hidden 32, 1 layer,
+  4 heads, intermediate 32, PairwiseHingeLoss, num_negatives 4,
+  sigma/margin 1.0, lr 1e-4, top_k 20 — lightning.py:32-44).
+- `train_step` computes **all 7 losses** for logging and differentiates
+  only the configured `train_loss` (lightning.py:137-147, :189-192),
+  in a single jit region. The three text towers (user/pos-item/neg-item)
+  are concatenated into one (3B, L) encoder pass so the MXU sees one
+  large batch instead of three small ones.
+- Optimizer is AdamW (lightning.py:238-239); weight decay matches the
+  torch AdamW default (0.01).
+
+The step functions are pure and shard-agnostic: under a mesh, batches are
+sharded over the 'data' axis and params replicated (see parallel/).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+from jax import Array
+
+from xfmr_rec_tpu.models.encoder import ModelConfig, TextEncoder, init_encoder
+from xfmr_rec_tpu.ops.losses import LossConfig, compute_losses
+from xfmr_rec_tpu.params import TOP_K
+
+
+class TrainConfig(ModelConfig):
+    """Reference-compatible trained config + TPU extras."""
+
+    hidden_size: int = 32
+    num_hidden_layers: int = 1
+    num_attention_heads: int = 4
+    intermediate_size: int = 32
+
+    train_loss: str = "PairwiseHingeLoss"
+    num_negatives: int = 4
+    sigma: float = 1.0
+    margin: float = 1.0
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.01
+    top_k: int = TOP_K
+    use_logq_correction: bool = False
+
+
+class TrainState(train_state.TrainState):
+    """Train state with a dropout RNG folded per step."""
+
+    dropout_rng: Array
+
+
+def create_train_state(
+    config: TrainConfig, rng: Array | int = 0
+) -> tuple[TextEncoder, TrainState]:
+    if isinstance(rng, int):
+        rng = jax.random.PRNGKey(rng)
+    params_rng, dropout_rng = jax.random.split(rng)
+    model, params = init_encoder(config, params_rng)
+    tx = optax.adamw(
+        config.learning_rate, weight_decay=config.weight_decay
+    )
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=params,
+        tx=tx,
+        dropout_rng=dropout_rng,
+    )
+    return model, state
+
+
+def loss_config(config: TrainConfig) -> LossConfig:
+    return LossConfig(
+        num_negatives=config.num_negatives,
+        sigma=config.sigma,
+        margin=config.margin,
+        use_logq_correction=config.use_logq_correction,
+    )
+
+
+def compute_batch_losses(
+    apply_fn,
+    params,
+    batch: dict[str, Array],
+    config: TrainConfig,
+    dropout_rng: Array | None = None,
+) -> dict[str, Array]:
+    """Encode the three towers in one pass and run the full loss family."""
+    batch_size = batch["user_tokens"].shape[0]
+    tokens = jnp.concatenate(
+        [batch["user_tokens"], batch["item_tokens"], batch["neg_item_tokens"]]
+    )
+    deterministic = dropout_rng is None
+    rngs = None if deterministic else {"dropout": dropout_rng}
+    embeds = apply_fn(
+        {"params": params}, tokens, deterministic=deterministic, rngs=rngs
+    )
+    user_embed = embeds[:batch_size]
+    item_embed = embeds[batch_size:]  # positives then sampled negatives
+    return compute_losses(
+        user_embed,
+        item_embed,
+        batch["target"],
+        item_idx=batch["item_idx"],
+        pos_idx=batch["pos_idx"],
+        config=loss_config(config),
+        log_q=batch.get("log_q"),
+    )
+
+
+def make_train_step(config: TrainConfig):
+    """Build the jittable train step for a given static config."""
+    train_loss = config.train_loss
+
+    def train_step(
+        state: TrainState, batch: dict[str, Array]
+    ) -> tuple[TrainState, dict[str, Array]]:
+        step_rng = jax.random.fold_in(state.dropout_rng, state.step)
+
+        def objective(params):
+            losses = compute_batch_losses(
+                state.apply_fn, params, batch, config, dropout_rng=step_rng
+            )
+            return losses[train_loss], losses
+
+        grads, losses = jax.grad(objective, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {f"train/{name}": value for name, value in losses.items()}
+        metrics["train/grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_loss_step(config: TrainConfig):
+    """Validation-loss step: same losses, deterministic encoder."""
+
+    def eval_step(
+        state: TrainState, batch: dict[str, Array]
+    ) -> dict[str, Array]:
+        losses = compute_batch_losses(
+            state.apply_fn, state.params, batch, config, dropout_rng=None
+        )
+        return {f"val/{name}": value for name, value in losses.items()}
+
+    return eval_step
+
+
+def make_encode_fn(model: TextEncoder):
+    """Deterministic batched text encoding (corpus / query embedding)."""
+
+    def encode(params: Any, tokens: Array) -> Array:
+        return model.apply({"params": params}, tokens, deterministic=True)
+
+    return encode

