@@ -1,0 +1,211 @@
+"""Pallas fused top-k kernel: interpret-mode correctness on CPU."""
+
+import numpy as np
+import pytest
+
+from xfmr_rec_tpu.ops.topk_pallas import (
+    certified_topk,
+    count_at_least,
+    lane_max_scan,
+    scan_topk,
+)
+
+B, N, D, K = 8, 512, 32, 10
+TILE = dict(batch_tile=8, corpus_tile=128, interpret=True)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    queries = rng.normal(size=(B, D)).astype(np.float32)
+    corpus = rng.normal(size=(N, D)).astype(np.float32)
+    return queries, corpus
+
+
+class TestLaneMaxScan:
+    def test_lane_max_semantics(self, data):
+        queries, corpus = data
+        vals, pos = lane_max_scan(queries, corpus, **TILE)
+        scores = queries @ corpus.T
+        lanes = scores.reshape(B, N // 128, 128)
+        want_vals = lanes.max(axis=1)
+        want_arg = lanes.argmax(axis=1) * 128 + np.arange(128)[None, :]
+        np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(pos), want_arg)
+
+    def test_positions_score_consistent(self, data):
+        queries, corpus = data
+        vals, pos = lane_max_scan(queries, corpus, **TILE)
+        scores = queries @ corpus.T
+        for b in range(B):
+            np.testing.assert_allclose(
+                np.asarray(vals[b]),
+                scores[b][np.asarray(pos[b])],
+                rtol=1e-5,
+            )
+
+
+class TestScanTopK:
+    def test_high_recall_vs_exact(self, data):
+        queries, corpus = data
+        _, got_pos = scan_topk(queries, corpus, K, **TILE)
+        scores = queries @ corpus.T
+        recalls = []
+        for b in range(B):
+            want = set(np.argsort(-scores[b])[:K].tolist())
+            got = set(np.asarray(got_pos[b]).tolist())
+            recalls.append(len(want & got) / K)
+        assert np.mean(recalls) > 0.9  # L=128 lanes, k=10
+
+    def test_returned_scores_descending_and_real(self, data):
+        queries, corpus = data
+        got_vals, got_pos = scan_topk(queries, corpus, K, **TILE)
+        scores = queries @ corpus.T
+        for b in range(B):
+            row_vals = np.asarray(got_vals[b])
+            assert (np.diff(row_vals) <= 1e-6).all()
+            np.testing.assert_allclose(
+                row_vals, scores[b][np.asarray(got_pos[b])], rtol=1e-5
+            )
+
+
+class TestCertification:
+    def test_count_at_least(self, data):
+        queries, corpus = data
+        scores = queries @ corpus.T
+        tau = np.quantile(scores, 0.95, axis=-1).astype(np.float32)
+        got = count_at_least(queries, corpus, tau, **TILE)
+        want = (scores >= tau[:, None]).sum(-1)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_certified_rows_are_exact(self, data):
+        queries, corpus = data
+        vals, pos, exact = certified_topk(queries, corpus, K, **TILE)
+        scores = queries @ corpus.T
+        exact = np.asarray(exact)
+        assert exact.any()  # certification fires on typical rows
+        for b in range(B):
+            if not exact[b]:
+                continue
+            want = set(np.argsort(-scores[b])[:K].tolist())
+            assert set(np.asarray(pos[b]).tolist()) == want
+
+    def test_certificate_is_sound_under_collisions(self):
+        """Force lane collisions: duplicate high-score items in one lane."""
+        rng = np.random.default_rng(1)
+        queries = rng.normal(size=(8, 16)).astype(np.float32)
+        corpus = rng.normal(size=(256, 16)).astype(np.float32) * 0.01
+        # plant the two best items for row 0 in the same lane (positions
+        # 0 and 128 with corpus_tile=128)
+        corpus[0] = queries[0] * 10
+        corpus[128] = queries[0] * 9
+        vals, pos, exact = certified_topk(
+            queries, corpus, 5, batch_tile=8, corpus_tile=128, interpret=True
+        )
+        scores = queries @ corpus.T
+        want = set(np.argsort(-scores[0])[:5].tolist())
+        got = set(np.asarray(pos[0]).tolist())
+        if got != want:  # collision lost an item ...
+            assert not bool(np.asarray(exact)[0])  # ... certificate says so
+
+
+class TestScanExcluding:
+    def test_exclusions_and_padding(self, data):
+        from xfmr_rec_tpu.ops.topk_pallas import scan_topk_excluding
+
+        queries, corpus = data
+        scores = queries @ corpus.T
+        best = np.argsort(-scores, axis=-1)
+        exclude = np.stack(
+            [best[:, 0], np.full(B, N)], axis=1
+        ).astype(np.int32)
+        vals, pos = scan_topk_excluding(
+            queries[:5], corpus, 5,
+            exclude_positions=exclude[:5],
+            batch_tile=8, corpus_tile=128, interpret=True,
+        )
+        assert pos.shape == (5, 5)  # query padding stripped
+        for b in range(5):
+            assert best[b, 0] not in np.asarray(pos[b])
+
+    def test_corpus_padding_masked(self, data):
+        from xfmr_rec_tpu.ops.topk_pallas import scan_topk_excluding
+
+        queries, corpus = data
+        padded = np.concatenate(
+            [corpus, np.zeros((128, corpus.shape[1]), corpus.dtype)]
+        )
+        vals, pos = scan_topk_excluding(
+            queries, padded, 10, true_num_items=N,
+            batch_tile=8, corpus_tile=128, interpret=True,
+        )
+        assert (np.asarray(pos) < N).all()
+
+
+class TestScanIndex:
+    def test_index_scan_method_matches_dense(self):
+        from xfmr_rec_tpu.index import RetrievalIndex
+
+        rng = np.random.default_rng(3)
+        corpus = rng.normal(size=(300, 16)).astype(np.float32)
+        ids = np.arange(1, 301)
+        dense = RetrievalIndex(corpus, ids, dtype="float32", method="dense")
+        scan = RetrievalIndex(corpus, ids, dtype="float32", method="scan")
+        queries = rng.normal(size=(4, 16)).astype(np.float32)
+        exclude = [[1, 2], [5], [], [250]]
+        s1, i1 = dense.search(queries, top_k=7, exclude_ids=exclude)
+        s2, i2 = scan.search(queries, top_k=7, exclude_ids=exclude)
+        np.testing.assert_array_equal(i1, i2)
+
+    def test_scan_index_save_load(self, tmp_path):
+        from xfmr_rec_tpu.index import RetrievalIndex
+
+        rng = np.random.default_rng(4)
+        corpus = rng.normal(size=(200, 8)).astype(np.float32)
+        idx = RetrievalIndex(
+            corpus, np.arange(1, 201), dtype="float32", method="scan"
+        )
+        idx.save(tmp_path / "i")
+        loaded = RetrievalIndex.load(tmp_path / "i")
+        assert loaded.method == "scan"
+        q = rng.normal(size=(2, 8)).astype(np.float32)
+        np.testing.assert_array_equal(
+            idx.search(q, top_k=5)[1], loaded.search(q, top_k=5)[1]
+        )
+
+
+class TestTwoSlotScan:
+    def test_lane_top2_semantics(self, data):
+        from xfmr_rec_tpu.ops.topk_pallas import lane_max_scan
+
+        queries, corpus = data
+        vals, pos = lane_max_scan(
+            queries, corpus, batch_tile=8, corpus_tile=128, slots=2,
+            interpret=True,
+        )
+        assert vals.shape == (B, 256)
+        scores = queries @ corpus.T
+        lanes = scores.reshape(B, N // 128, 128)
+        order = np.sort(lanes, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(vals[:, :128]), order[:, -1, :], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(vals[:, 128:]), order[:, -2, :], rtol=1e-5
+        )
+        # positions consistent with values
+        for b in range(B):
+            np.testing.assert_allclose(
+                np.asarray(vals[b]), scores[b][np.asarray(pos[b])], rtol=1e-5
+            )
+
+    def test_two_slots_certify_more(self, data):
+        from xfmr_rec_tpu.ops.topk_pallas import certified_topk
+
+        queries, corpus = data
+        kw = dict(batch_tile=8, corpus_tile=128, interpret=True)
+        _, _, exact1 = certified_topk(queries, corpus, 20, slots=1, **kw)
+        _, _, exact2 = certified_topk(queries, corpus, 20, slots=2, **kw)
+        assert np.asarray(exact2).sum() >= np.asarray(exact1).sum()
+        # k=20, L=128: triples are rare, pairs are not
+        assert np.asarray(exact2).mean() > 0.5

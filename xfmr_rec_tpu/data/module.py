@@ -113,7 +113,19 @@ class RecDataModule:
 
     # ------------------------------------------------------------------
     def prepare_data(self, *, overwrite: bool = False) -> None:
-        """ETL to parquet (downloads or synthesizes raw data if absent)."""
+        """ETL to parquet (downloads or synthesizes raw data if absent).
+
+        Guarded by a FileLock like the reference prepare_data
+        (data/lightning.py:404-412) so concurrent trainers / HPO trials
+        don't race on the dataset directory.
+        """
+        from filelock import FileLock
+
+        cfg = self.config
+        with FileLock(f"{cfg.data_dir}.lock"):
+            self._prepare_data_locked(overwrite=overwrite)
+
+    def _prepare_data_locked(self, *, overwrite: bool = False) -> None:
         cfg = self.config
         raw_dir = pathlib.Path(cfg.data_dir, "ml-1m")
         if not (raw_dir / "ratings.dat").exists():

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # plain float: no backend init at import time
 
 
 def _apply_exclusions(scores: Array, exclude_positions: Array | None) -> Array:
@@ -131,28 +131,60 @@ class RetrievalIndex:
         id_col: str = "id",
         dtype: str = "bfloat16",
         chunk_size: int | None = None,
+        method: str = "dense",
     ) -> None:
         if embeddings.shape[0] != len(ids):
             msg = "embeddings and ids must align"
+            raise ValueError(msg)
+        if method not in ("dense", "scan"):
+            msg = f"unknown search method {method!r}"
             raise ValueError(msg)
         self.id_col = id_col
         self.ids = np.asarray(ids)
         self.metadata = metadata or [{} for _ in self.ids]
         self._id_to_pos = {int(i): p for p, i in enumerate(self.ids)}
         self.chunk_size = chunk_size
+        self.method = method
         # bf16 corpus in device memory: halves HBM traffic for scoring
         self.corpus = jnp.asarray(embeddings, dtype=dtype)
         self._ids_dev = jnp.asarray(self.ids.astype(np.int32))
-        self._search_fn = jax.jit(
-            lambda q, excl, k: exact_topk(
-                q,
-                self.corpus,
-                k,
-                exclude_positions=excl,
-                chunk_size=self.chunk_size,
-            ),
-            static_argnames=("k",),
-        )
+        if method == "scan":
+            from xfmr_rec_tpu.ops.topk_pallas import (
+                DEFAULT_CORPUS_TILE,
+                scan_topk_excluding,
+            )
+
+            true_n = self.corpus.shape[0]
+            tile = min(DEFAULT_CORPUS_TILE, 1 << (true_n - 1).bit_length())
+            pad = -true_n % tile
+            corpus_padded = (
+                jnp.pad(self.corpus, ((0, pad), (0, 0))) if pad else self.corpus
+            )
+            # Pallas compiles on TPU; CPU (tests) runs the interpreter
+            interpret = jax.default_backend() == "cpu"
+            self._search_fn = jax.jit(
+                lambda q, excl, k: scan_topk_excluding(
+                    q,
+                    corpus_padded,
+                    k,
+                    exclude_positions=excl,
+                    true_num_items=true_n,
+                    corpus_tile=tile,
+                    interpret=interpret,
+                ),
+                static_argnames=("k",),
+            )
+        else:
+            self._search_fn = jax.jit(
+                lambda q, excl, k: exact_topk(
+                    q,
+                    self.corpus,
+                    k,
+                    exclude_positions=excl,
+                    chunk_size=self.chunk_size,
+                ),
+                static_argnames=("k",),
+            )
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -164,9 +196,17 @@ class RetrievalIndex:
     def positions_of(
         self, id_lists: list[list[int]], width: int | None = None
     ) -> np.ndarray:
-        """Map per-row id lists to padded corpus positions (pad = N)."""
+        """Map per-row id lists to padded corpus positions (pad = N).
+
+        The pad width is rounded up to a power of two so the jitted
+        search sees a few stable exclusion shapes instead of recompiling
+        per request.
+        """
         num_items = len(self.ids)
-        width = width or max((len(x) for x in id_lists), default=1) or 1
+        if width is None:
+            longest = max((len(x) for x in id_lists), default=1) or 1
+            width = 1 << (longest - 1).bit_length()
+            width = max(width, 8)
         out = np.full((len(id_lists), width), num_items, dtype=np.int32)
         for row, id_list in enumerate(id_lists):
             for col, id_val in enumerate(id_list[:width]):
@@ -222,6 +262,7 @@ class RetrievalIndex:
             "id_col": self.id_col,
             "dtype": str(self.corpus.dtype),
             "chunk_size": self.chunk_size,
+            "method": self.method,
             "metadata": self.metadata,
         }
         (path / "index.json").write_text(json.dumps(meta))
@@ -238,4 +279,5 @@ class RetrievalIndex:
             id_col=meta["id_col"],
             dtype=meta["dtype"],
             chunk_size=meta["chunk_size"],
+            method=meta.get("method", "dense"),
         )

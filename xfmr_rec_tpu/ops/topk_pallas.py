@@ -1,0 +1,361 @@
+"""Pallas fused MIPS top-k: score + select in one HBM sweep.
+
+Why: the XLA path (`index/mips.py exact_topk`) materializes the (B, N)
+score matrix in HBM and runs `lax.top_k` over N — profiling on v5e shows
+that write + sort dominate (matmul-only ~32k qps, full exact ~3k qps at
+B=2048, N=1M). This kernel keeps scores in VMEM: for each corpus tile it
+computes (B_tile, C) scores on the MXU and folds them into a running
+per-lane maximum, so HBM traffic is just the corpus read plus a (B, L)
+result — the speed-of-light pattern for exhaustive retrieval.
+
+Selection scheme (lane-max):
+- lane(position) = position % L, with L == tile width C, so tile column j
+  *is* lane j — the update is a pure elementwise max, no in-kernel sort.
+- After the sweep, exact `lax.top_k` over the (B, L) lane maxima.
+- Two true top-k items colliding in a lane lose the smaller one; with
+  L >> k the expected loss is ~ C(k,2)/L (k=100, L=4096 -> ~1.2 items,
+  recall ~98.8%; L=8192 -> ~0.6). The corpus order is arbitrary w.r.t.
+  scores, so this is a birthday bound, not an adversarial one.
+
+Exactness certification (`certified_topk`):
+- Let tau = the k-th best value found. tau is a LOWER bound on the true
+  k-th value (each lane max is a real element, so >= k elements >= tau).
+- A count sweep (fused, no materialization) computes c = #{score >= tau}
+  per row. If c == k, the returned set provably IS the exact top-k.
+- Rows with c != k (lane collision or tie) fall back to the dense exact
+  path — rare, and correctness never depends on the birthday bound.
+
+Grid: (batch_tiles, corpus_tiles); TPU grids execute sequentially, with
+the corpus dimension minor, so the (B_tile, L) running buffers stay
+resident in VMEM across the whole corpus sweep for one batch tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+# Tile defaults tuned for ~12 MB VMEM at D=64.
+DEFAULT_BATCH_TILE = 256
+DEFAULT_CORPUS_TILE = 4096
+
+
+def _scan_kernel(q_ref, corpus_ref, vals_ref, pos_ref, *, corpus_tile):
+    corpus_step = pl.program_id(1)
+
+    @pl.when(corpus_step == 0)
+    def _init():
+        vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
+        pos_ref[:] = jnp.zeros_like(pos_ref)
+
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        corpus_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (batch_tile, corpus_tile)
+    base = corpus_step * corpus_tile
+    positions = base + jax.lax.broadcasted_iota(
+        jnp.int32, scores.shape, dimension=1
+    )
+    better = scores > vals_ref[:]
+    vals_ref[:] = jnp.where(better, scores, vals_ref[:])
+    pos_ref[:] = jnp.where(better, positions, pos_ref[:])
+
+
+def _scan2_kernel(
+    q_ref, corpus_ref, vals1_ref, pos1_ref, vals2_ref, pos2_ref, *, corpus_tile
+):
+    """Top-2-per-lane variant: a lane loses a true top-k item only when
+    THREE of them collide in it — certification rate ~99% at L=4096."""
+    corpus_step = pl.program_id(1)
+
+    @pl.when(corpus_step == 0)
+    def _init():
+        vals1_ref[:] = jnp.full_like(vals1_ref, NEG_INF)
+        pos1_ref[:] = jnp.zeros_like(pos1_ref)
+        vals2_ref[:] = jnp.full_like(vals2_ref, NEG_INF)
+        pos2_ref[:] = jnp.zeros_like(pos2_ref)
+
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        corpus_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    base = corpus_step * corpus_tile
+    positions = base + jax.lax.broadcasted_iota(
+        jnp.int32, scores.shape, dimension=1
+    )
+    best1, best2 = vals1_ref[:], vals2_ref[:]
+    beats1 = scores > best1
+    # value/pos displaced into the slot-2 contest
+    contender = jnp.where(beats1, best1, scores)
+    contender_pos = jnp.where(beats1, pos1_ref[:], positions)
+    beats2 = contender > best2
+    vals1_ref[:] = jnp.where(beats1, scores, best1)
+    pos1_ref[:] = jnp.where(beats1, positions, pos1_ref[:])
+    vals2_ref[:] = jnp.where(beats2, contender, best2)
+    pos2_ref[:] = jnp.where(beats2, contender_pos, pos2_ref[:])
+
+
+def lane_max_scan(
+    queries: Array,
+    corpus: Array,
+    *,
+    batch_tile: int = DEFAULT_BATCH_TILE,
+    corpus_tile: int = DEFAULT_CORPUS_TILE,
+    slots: int = 1,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """One fused sweep -> per-lane top-`slots` values/positions.
+
+    Returns (values (B, slots*corpus_tile), positions (B, slots*corpus_tile)).
+    """
+    batch, dim = queries.shape
+    num_items = corpus.shape[0]
+    batch_tile = min(batch_tile, batch)
+    corpus_tile = min(corpus_tile, num_items)
+    if batch % batch_tile or num_items % corpus_tile:
+        msg = (
+            f"shapes must tile evenly: {batch=} % {batch_tile=}, "
+            f"{num_items=} % {corpus_tile=}"
+        )
+        raise ValueError(msg)
+    if slots not in (1, 2):
+        msg = f"slots must be 1 or 2, got {slots}"
+        raise ValueError(msg)
+
+    grid = (batch // batch_tile, num_items // corpus_tile)
+    block_in = [
+        pl.BlockSpec(
+            (batch_tile, dim), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (corpus_tile, dim), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_block = pl.BlockSpec(
+        (batch_tile, corpus_tile), lambda b, i: (b, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape_f = jax.ShapeDtypeStruct((batch, corpus_tile), jnp.float32)
+    out_shape_i = jax.ShapeDtypeStruct((batch, corpus_tile), jnp.int32)
+    cost = pl.CostEstimate(
+        flops=2 * batch * num_items * dim,
+        bytes_accessed=corpus.size * corpus.dtype.itemsize,
+        transcendentals=0,
+    )
+    if slots == 1:
+        kernel = functools.partial(_scan_kernel, corpus_tile=corpus_tile)
+        vals, pos = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=block_in,
+            out_specs=[out_block, out_block],
+            out_shape=[out_shape_f, out_shape_i],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(queries, corpus)
+        return vals, pos
+    kernel = functools.partial(_scan2_kernel, corpus_tile=corpus_tile)
+    vals1, pos1, vals2, pos2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=block_in,
+        out_specs=[out_block, out_block, out_block, out_block],
+        out_shape=[out_shape_f, out_shape_i, out_shape_f, out_shape_i],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(queries, corpus)
+    return (
+        jnp.concatenate([vals1, vals2], axis=-1),
+        jnp.concatenate([pos1, pos2], axis=-1),
+    )
+
+
+def scan_topk(
+    queries: Array,
+    corpus: Array,
+    k: int,
+    *,
+    batch_tile: int = DEFAULT_BATCH_TILE,
+    corpus_tile: int = DEFAULT_CORPUS_TILE,
+    slots: int = 1,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """Fused-scan top-k (near-exact; see module docstring for recall)."""
+    vals, pos = lane_max_scan(
+        queries,
+        corpus,
+        batch_tile=batch_tile,
+        corpus_tile=corpus_tile,
+        slots=slots,
+        interpret=interpret,
+    )
+    top_vals, top_lanes = jax.lax.top_k(vals, k)
+    top_pos = jnp.take_along_axis(pos, top_lanes, axis=-1)
+    return top_vals, top_pos
+
+
+def scan_topk_excluding(
+    queries: Array,
+    corpus: Array,
+    k: int,
+    *,
+    exclude_positions: Array | None = None,
+    true_num_items: int | None = None,
+    batch_tile: int = DEFAULT_BATCH_TILE,
+    corpus_tile: int = DEFAULT_CORPUS_TILE,
+    slots: int = 2,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """Fused-scan top-k with per-row exclusions and query padding.
+
+    Exclusions are applied by slack: the kernel retrieves k + E lanes,
+    excluded (and corpus-padding) positions are masked to -inf, and the
+    final top-k is taken — so E excluded items can never push a wanted
+    item out. Requires k + E <= corpus_tile lanes.
+
+    `true_num_items`: logical corpus size when the stored corpus is
+    zero-padded to a tile multiple (padding rows are masked out).
+    """
+    batch = queries.shape[0]
+    batch_tile = min(batch_tile, _round_up(batch, 8))
+    pad_rows = -batch % batch_tile
+    if pad_rows:
+        queries = jnp.pad(queries, ((0, pad_rows), (0, 0)))
+        if exclude_positions is not None:
+            exclude_positions = jnp.pad(
+                exclude_positions, ((0, pad_rows), (0, 0))
+            )
+    slack = 0 if exclude_positions is None else exclude_positions.shape[1]
+    fetch = min(k + slack, slots * min(corpus_tile, corpus.shape[0]))
+    vals, pos = scan_topk(
+        queries,
+        corpus,
+        fetch,
+        batch_tile=batch_tile,
+        corpus_tile=corpus_tile,
+        slots=slots,
+        interpret=interpret,
+    )
+    if true_num_items is not None and true_num_items < corpus.shape[0]:
+        vals = jnp.where(pos < true_num_items, vals, NEG_INF)
+    if exclude_positions is not None:
+        hit = jnp.any(
+            pos[:, :, None] == exclude_positions[:, None, :], axis=-1
+        )
+        vals = jnp.where(hit, NEG_INF, vals)
+    top_vals, sel = jax.lax.top_k(vals, k)
+    top_pos = jnp.take_along_axis(pos, sel, axis=-1)
+    return top_vals[:batch], top_pos[:batch]
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return -(-value // multiple) * multiple
+
+
+def _count_kernel(q_ref, tau_ref, corpus_ref, count_ref):
+    corpus_step = pl.program_id(1)
+
+    @pl.when(corpus_step == 0)
+    def _init():
+        count_ref[:] = jnp.zeros_like(count_ref)
+
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        corpus_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    hits = (scores >= tau_ref[:]).astype(jnp.int32)
+    count_ref[:] += jnp.sum(hits, axis=-1, keepdims=True)
+
+
+def count_at_least(
+    queries: Array,
+    corpus: Array,
+    tau: Array,
+    *,
+    batch_tile: int = DEFAULT_BATCH_TILE,
+    corpus_tile: int = DEFAULT_CORPUS_TILE,
+    interpret: bool = False,
+) -> Array:
+    """Per-row count of corpus scores >= tau (fused sweep, (B,) int32)."""
+    batch, dim = queries.shape
+    num_items = corpus.shape[0]
+    batch_tile = min(batch_tile, batch)
+    corpus_tile = min(corpus_tile, num_items)
+    grid = (batch // batch_tile, num_items // corpus_tile)
+    counts = pl.pallas_call(
+        _count_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (batch_tile, dim), lambda b, i: (b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (batch_tile, 1), lambda b, i: (b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (corpus_tile, dim), lambda b, i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (batch_tile, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, 1), jnp.int32),
+        interpret=interpret,
+    )(queries, tau.reshape(-1, 1), corpus)
+    return counts[:, 0]
+
+
+def certified_topk(
+    queries: Array,
+    corpus: Array,
+    k: int,
+    *,
+    batch_tile: int = DEFAULT_BATCH_TILE,
+    corpus_tile: int = DEFAULT_CORPUS_TILE,
+    slots: int = 2,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """Fused-scan top-k + per-row exactness certificate.
+
+    Returns (values, positions, exact_mask). exact_mask[b] is True when
+    the row's result is *provably* the exact top-k (count at tau == k).
+    Callers needing guaranteed exactness re-run the (rare) uncertified
+    rows through the dense path; see RetrievalIndex.search_certified.
+    Default slots=2 (top-2 per lane): ~99% of rows certify at L=4096,
+    k=100 vs ~30% for slots=1.
+    """
+    top_vals, top_pos = scan_topk(
+        queries,
+        corpus,
+        k,
+        batch_tile=batch_tile,
+        corpus_tile=corpus_tile,
+        slots=slots,
+        interpret=interpret,
+    )
+    tau = top_vals[:, k - 1]
+    counts = count_at_least(
+        queries,
+        corpus,
+        tau,
+        batch_tile=batch_tile,
+        corpus_tile=corpus_tile,
+        interpret=interpret,
+    )
+    return top_vals, top_pos, counts == k

@@ -21,7 +21,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from xfmr_rec_tpu.parallel.mesh import MODEL_AXIS
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")
 
 
 def sharded_topk(

@@ -44,7 +44,9 @@ def _activity_list(raw: Any) -> list[dict]:
 
 
 class RecommenderEngine:
-    def __init__(self, artifact_dir: str | pathlib.Path) -> None:
+    def __init__(
+        self, artifact_dir: str | pathlib.Path, *, warmup: bool = True
+    ) -> None:
         from flax import serialization
 
         path = pathlib.Path(artifact_dir)
@@ -84,6 +86,11 @@ class RecommenderEngine:
                 {"params": params}, tokens, deterministic=True
             )
         )
+        if warmup:
+            # pre-compile the embed + search graphs so the first live
+            # request doesn't pay jit latency (minutes on remote-compile
+            # TPU setups); TOP_K is the default k of every endpoint
+            self.search_items(Query(text="warmup"), top_k=TOP_K)
 
     # ------------------------------------------------------------------
     # Embedder

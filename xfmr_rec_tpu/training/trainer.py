@@ -166,6 +166,9 @@ class Trainer:
                     stop = True
         if profiling:
             jax.profiler.stop_trace()
+        if not last_val:  # e.g. max_steps hit before any val check
+            last_val = self.validate()
+            self._early_stop_check(last_val)
         return last_val
 
     def _early_stop_check(self, val_metrics: dict[str, float]) -> bool:
