@@ -194,3 +194,32 @@ class TestTrainerLoop:
         assert (path / "processors.json").exists()
         assert (path / "index" / "corpus.npz").exists()
         assert (path / "users.parquet").exists()
+
+
+class TestTrainerKnobs:
+    def test_max_time_stops_early(self, dm, tmp_path_factory):
+        import time
+
+        trainer = Trainer(
+            TrainConfig(**TINY_MODEL),
+            data=dm,
+            trainer_config=TrainerConfig(
+                max_epochs=50,
+                max_time_s=1.0,
+                log_dir=str(tmp_path_factory.mktemp("runs_time")),
+                limit_val_batches=1,
+            ),
+        )
+        start = time.time()
+        trainer.fit()
+        assert time.time() - start < 120
+        assert trainer.global_step < 50 * dm.steps_per_epoch
+
+    def test_step_timer(self):
+        from xfmr_rec_tpu.utils.profiling import StepTimer
+
+        timer = StepTimer(window=10)
+        for _ in range(25):
+            timer.tick()
+        assert timer.summary()["steps"] == 25
+        assert timer.steps_per_second > 0

@@ -23,6 +23,27 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host setup: call once per host before creating the mesh.
+
+    Thin wrapper over `jax.distributed.initialize` (auto-detecting on TPU
+    pods when no args are given). After this, `jax.devices()` spans all
+    hosts and the same mesh/jit code scales across DCN — the TPU-native
+    replacement for the reference's Ray worker orchestration (ray.py).
+    """
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def create_mesh(
     n_devices: int | None = None, model_parallel: int = 1
 ) -> Mesh:

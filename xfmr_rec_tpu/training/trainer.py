@@ -54,6 +54,7 @@ logger = logging.getLogger(__name__)
 class TrainerConfig:
     max_epochs: int = 1
     max_steps: int | None = None
+    max_time_s: float | None = 86400.0  # reference max_time "1 day"
     val_check_interval: float = 0.25
     limit_train_batches: float | int | None = None
     limit_val_batches: int | None = None
@@ -134,6 +135,7 @@ class Trainer:
         last_val: dict[str, float] = {}
         stop = False
         profiling = False
+        fit_start = time.time()
 
         for epoch in range(tc.max_epochs):
             if stop:
@@ -153,6 +155,13 @@ class Trainer:
                 if self.global_step % tc.log_every_steps == 0:
                     self.logger.log_metrics(metrics, self.global_step)
                 if tc.max_steps and self.global_step >= tc.max_steps:
+                    stop = True
+                    break
+                if (
+                    tc.max_time_s
+                    and time.time() - fit_start > tc.max_time_s
+                ):
+                    logger.info("max_time_s reached; stopping")
                     stop = True
                     break
                 if (batch_idx + 1) % val_every == 0:
