@@ -7,15 +7,19 @@ CPU); vs_baseline is reported against the 100k QPS north-star target.
 
 What runs: the Pallas fused score+select kernel
 (xfmr_rec_tpu/ops/topk_pallas.py) in certified mode — every corpus item
-is scored (exhaustive), top-k selected via a 2-slot lane max, and a
-second fused sweep emits a per-row proof of exactness (~96% of rows
-certify; the rest are near-exact with recall ~99.9% and can be re-run
-through the dense path when guarantees are required).
+is scored (exhaustive), top-k selected via a 2-slot lane max, and the
+SAME sweep tracks the max value ever evicted from any lane, which
+proves per-row exactness (~96% of rows certify; the rest are near-exact
+with recall ~99.9% and are re-run through the dense path when guarantees
+are required — RetrievalIndex.search_certified).
 
-Reference points measured on the same chip/shapes (see BENCH notes):
+Reference points measured on the same chip/shapes (see BENCH_NOTES.md):
   XLA dense (B,N) matmul + lax.top_k : ~3k qps
   XLA approx_max_k(recall=0.95)      : ~52k qps
-  this kernel, uncertified scan      : ~228k qps (slots=1)
+  uncertified scan, slots=1          : ~255k qps (recall 97.6%)
+  uncertified scan, slots=2          : ~156k qps (recall 99.96%)
+  certified (count method, 2 sweeps) : ~117k qps
+  certified (discard, single sweep)  : ~148k qps  <- this config
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N}

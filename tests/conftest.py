@@ -17,6 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize imports jax and registers the TPU backend at
+# interpreter startup (before conftest), which pins jax_platforms=axon and
+# makes the env vars above ineffective. Force CPU through the live config —
+# this works even post-registration as long as no backend has initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)

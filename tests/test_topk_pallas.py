@@ -78,9 +78,12 @@ class TestCertification:
         want = (scores >= tau[:, None]).sum(-1)
         np.testing.assert_array_equal(np.asarray(got), want)
 
-    def test_certified_rows_are_exact(self, data):
+    @pytest.mark.parametrize("method", ["discard", "count"])
+    def test_certified_rows_are_exact(self, data, method):
         queries, corpus = data
-        vals, pos, exact = certified_topk(queries, corpus, K, **TILE)
+        vals, pos, exact = certified_topk(
+            queries, corpus, K, method=method, **TILE
+        )
         scores = queries @ corpus.T
         exact = np.asarray(exact)
         assert exact.any()  # certification fires on typical rows
@@ -89,6 +92,33 @@ class TestCertification:
                 continue
             want = set(np.argsort(-scores[b])[:K].tolist())
             assert set(np.asarray(pos[b]).tolist()) == want
+
+    @pytest.mark.parametrize("slots", [1, 2])
+    def test_discard_max_semantics(self, data, slots):
+        """Row dmax == max over lanes of the (slots+1)-th largest value in
+        the lane: the final slot-holders each won every contest;
+        everything else lost exactly one, so the max evicted value per
+        lane is the first runner-up."""
+        queries, corpus = data
+        *_, dmax = lane_max_scan(
+            queries, corpus, slots=slots, track_discards=True, **TILE
+        )
+        assert dmax.shape == (B, 1)
+        scores = queries @ corpus.T
+        lanes = np.sort(scores.reshape(B, N // 128, 128), axis=1)
+        want = lanes[:, -(slots + 1), :].max(axis=-1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(dmax), want, rtol=1e-5)
+
+    @pytest.mark.parametrize("slots", [1, 2])
+    def test_discard_and_count_certificates_agree(self, data, slots):
+        queries, corpus = data
+        *_, exact_d = certified_topk(
+            queries, corpus, K, slots=slots, method="discard", **TILE
+        )
+        *_, exact_c = certified_topk(
+            queries, corpus, K, slots=slots, method="count", **TILE
+        )
+        np.testing.assert_array_equal(np.asarray(exact_d), np.asarray(exact_c))
 
     def test_certificate_is_sound_under_collisions(self):
         """Force lane collisions: duplicate high-score items in one lane."""
@@ -172,6 +202,51 @@ class TestScanIndex:
         np.testing.assert_array_equal(
             idx.search(q, top_k=5)[1], loaded.search(q, top_k=5)[1]
         )
+
+
+class TestTrueNumItems:
+    def test_kernel_masks_padding_rows(self, data):
+        queries, corpus = data
+        # pad with rows that would otherwise win every query
+        loud = np.tile(queries[:1] * 100, (128, 1))
+        padded = np.concatenate([corpus, loud]).astype(np.float32)
+        vals, pos, exact = certified_topk(
+            queries, padded, K, true_num_items=N, **TILE
+        )
+        assert (np.asarray(pos) < N).all()
+        scores = queries @ corpus.T
+        for b in np.nonzero(np.asarray(exact))[0]:
+            want = set(np.argsort(-scores[b])[:K].tolist())
+            assert set(np.asarray(pos[b]).tolist()) == want
+
+    def test_count_masks_padding_rows(self, data):
+        queries, corpus = data
+        loud = np.tile(queries[:1] * 100, (128, 1))
+        padded = np.concatenate([corpus, loud]).astype(np.float32)
+        scores = queries @ corpus.T
+        tau = np.quantile(scores, 0.95, axis=-1).astype(np.float32)
+        got = count_at_least(queries, padded, tau, true_num_items=N, **TILE)
+        want = (scores >= tau[:, None]).sum(-1)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+class TestSearchCertified:
+    def test_every_row_exact(self):
+        from xfmr_rec_tpu.index import RetrievalIndex
+
+        rng = np.random.default_rng(7)
+        # 300 items: non-tile-multiple, exercises the padding path; low
+        # dim + duplicated rows force collisions and ties
+        corpus = rng.normal(size=(300, 8)).astype(np.float32)
+        corpus[250:260] = corpus[0]  # hard ties
+        ids = np.arange(1, 301)
+        idx = RetrievalIndex(corpus, ids, dtype="float32", method="scan")
+        queries = rng.normal(size=(16, 8)).astype(np.float32)
+        scores, got_ids = idx.search_certified(queries, top_k=12)
+        ref = queries @ corpus.T
+        for b in range(16):
+            want_scores = np.sort(ref[b])[::-1][:12]
+            np.testing.assert_allclose(scores[b], want_scores, rtol=1e-5)
 
 
 class TestTwoSlotScan:

@@ -213,6 +213,71 @@ class RetrievalIndex:
                 out[row, col] = self._id_to_pos.get(int(id_val), num_items)
         return out
 
+    def search_certified(
+        self, queries: np.ndarray | Array, *, top_k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Guaranteed-exact batched search (no exclusions).
+
+        One fused Pallas sweep with per-row exactness certificates
+        (ops/topk_pallas.py certified_topk); the rare uncertified rows
+        (lane collisions / score ties) are re-run through the dense exact
+        path, so every returned row is provably the exact top-k.
+
+        Returns (scores (B, k), item_ids (B, k)).
+        """
+        import jax
+
+        from xfmr_rec_tpu.ops.topk_pallas import (
+            DEFAULT_CORPUS_TILE,
+            certified_topk,
+        )
+
+        queries = jnp.asarray(queries, dtype=self.corpus.dtype)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if not hasattr(self, "_certified_fn"):
+            true_n = self.corpus.shape[0]
+            tile = min(DEFAULT_CORPUS_TILE, 1 << (true_n - 1).bit_length())
+            pad = -true_n % tile
+            corpus_padded = (
+                jnp.pad(self.corpus, ((0, pad), (0, 0)))
+                if pad
+                else self.corpus
+            )
+            interpret = jax.default_backend() == "cpu"
+            self._certified_fn = jax.jit(
+                lambda q, k: certified_topk(
+                    q,
+                    corpus_padded,
+                    k,
+                    corpus_tile=tile,
+                    true_num_items=true_n,
+                    interpret=interpret,
+                ),
+                static_argnames=("k",),
+            )
+            self._dense_fn = jax.jit(
+                lambda q, k: exact_topk(
+                    q, self.corpus, k, chunk_size=self.chunk_size
+                ),
+                static_argnames=("k",),
+            )
+        scores, positions, exact = self._certified_fn(queries, top_k)
+        scores = np.asarray(scores)
+        positions = np.asarray(positions)
+        bad = np.nonzero(~np.asarray(exact))[0]
+        if bad.size:
+            # pad the retry batch to a power of two for stable jit shapes
+            width = max(8, 1 << (int(bad.size) - 1).bit_length())
+            retry = np.zeros((width, self.dim), dtype=np.float32)
+            retry[: bad.size] = np.asarray(queries, dtype=np.float32)[bad]
+            s2, p2 = self._dense_fn(
+                jnp.asarray(retry, dtype=self.corpus.dtype), top_k
+            )
+            scores[bad] = np.asarray(s2)[: bad.size]
+            positions[bad] = np.asarray(p2)[: bad.size]
+        return scores, self.ids[positions]
+
     def search(
         self,
         queries: np.ndarray | Array,

@@ -20,10 +20,16 @@ Selection scheme (lane-max):
 Exactness certification (`certified_topk`):
 - Let tau = the k-th best value found. tau is a LOWER bound on the true
   k-th value (each lane max is a real element, so >= k elements >= tau).
-- A count sweep (fused, no materialization) computes c = #{score >= tau}
-  per row. If c == k, the returned set provably IS the exact top-k.
-- Rows with c != k (lane collision or tie) fall back to the dense exact
-  path — rare, and correctness never depends on the birthday bound.
+- Primary ("discard", single sweep): the kernel keeps a per-row running
+  max of every value evicted from a lane's slots. Every corpus element
+  ends in a slot or was evicted, so max(evicted) < tau proves all
+  elements >= tau are still in the buffers — the selected set IS the
+  exact top-k. Costs ~6% over the uncertified scan (measured v5e).
+- Cross-check ("count", second fused sweep): c = #{score >= tau} == k
+  certifies the same property; kept for validation.
+- Uncertified rows (lane collision or tie at tau) fall back to the dense
+  exact path (RetrievalIndex.search_certified) — rare, and correctness
+  never depends on the birthday bound.
 
 Grid: (batch_tiles, corpus_tiles); TPU grids execute sequentially, with
 the corpus dimension minor, so the (B_tile, L) running buffers stay
@@ -42,18 +48,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float("-inf")
 
-# Tile defaults tuned for ~12 MB VMEM at D=64.
+# Tile defaults tuned for ~16 MB VMEM at D=64: slots=2 keeps 4 running
+# (bt, ct) buffers + the (bt, ct) score tile resident, so (256, 2048) is
+# the largest safe default (measured: (256, 4096) at slots=2 exceeds the
+# 16 MB scoped-vmem limit on v5e).
 DEFAULT_BATCH_TILE = 256
-DEFAULT_CORPUS_TILE = 4096
+DEFAULT_CORPUS_TILE = 2048
 
 
-def _scan_kernel(q_ref, corpus_ref, vals_ref, pos_ref, *, corpus_tile):
+def _scan_kernel(
+    q_ref, corpus_ref, vals_ref, pos_ref, *rest, corpus_tile, true_num_items
+):
     corpus_step = pl.program_id(1)
+    dmax_ref = rest[0] if rest else None
 
     @pl.when(corpus_step == 0)
     def _init():
         vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
         pos_ref[:] = jnp.zeros_like(pos_ref)
+        if dmax_ref is not None:
+            dmax_ref[:] = jnp.full_like(dmax_ref, NEG_INF)
 
     scores = jax.lax.dot_general(
         q_ref[:],
@@ -65,17 +79,36 @@ def _scan_kernel(q_ref, corpus_ref, vals_ref, pos_ref, *, corpus_tile):
     positions = base + jax.lax.broadcasted_iota(
         jnp.int32, scores.shape, dimension=1
     )
+    if true_num_items is not None:
+        scores = jnp.where(positions < true_num_items, scores, NEG_INF)
     better = scores > vals_ref[:]
+    if dmax_ref is not None:
+        # loser of the slot contest = the value this lane discards now;
+        # reduced to a per-row running max ((bt, 1) buffer) to keep VMEM
+        # pressure off the hot loop.
+        discarded = jnp.where(better, vals_ref[:], scores)
+        dmax_ref[:] = jnp.maximum(
+            dmax_ref[:], jnp.max(discarded, axis=-1, keepdims=True)
+        )
     vals_ref[:] = jnp.where(better, scores, vals_ref[:])
     pos_ref[:] = jnp.where(better, positions, pos_ref[:])
 
 
 def _scan2_kernel(
-    q_ref, corpus_ref, vals1_ref, pos1_ref, vals2_ref, pos2_ref, *, corpus_tile
+    q_ref,
+    corpus_ref,
+    vals1_ref,
+    pos1_ref,
+    vals2_ref,
+    pos2_ref,
+    *rest,
+    corpus_tile,
+    true_num_items,
 ):
     """Top-2-per-lane variant: a lane loses a true top-k item only when
     THREE of them collide in it — certification rate ~99% at L=4096."""
     corpus_step = pl.program_id(1)
+    dmax_ref = rest[0] if rest else None
 
     @pl.when(corpus_step == 0)
     def _init():
@@ -83,6 +116,8 @@ def _scan2_kernel(
         pos1_ref[:] = jnp.zeros_like(pos1_ref)
         vals2_ref[:] = jnp.full_like(vals2_ref, NEG_INF)
         pos2_ref[:] = jnp.zeros_like(pos2_ref)
+        if dmax_ref is not None:
+            dmax_ref[:] = jnp.full_like(dmax_ref, NEG_INF)
 
     scores = jax.lax.dot_general(
         q_ref[:],
@@ -94,12 +129,21 @@ def _scan2_kernel(
     positions = base + jax.lax.broadcasted_iota(
         jnp.int32, scores.shape, dimension=1
     )
+    if true_num_items is not None:
+        scores = jnp.where(positions < true_num_items, scores, NEG_INF)
     best1, best2 = vals1_ref[:], vals2_ref[:]
     beats1 = scores > best1
     # value/pos displaced into the slot-2 contest
     contender = jnp.where(beats1, best1, scores)
     contender_pos = jnp.where(beats1, pos1_ref[:], positions)
     beats2 = contender > best2
+    if dmax_ref is not None:
+        # loser of the slot-2 contest leaves the lane for good; per-row
+        # running max keeps the certificate state at (bt, 1)
+        discarded = jnp.where(beats2, best2, contender)
+        dmax_ref[:] = jnp.maximum(
+            dmax_ref[:], jnp.max(discarded, axis=-1, keepdims=True)
+        )
     vals1_ref[:] = jnp.where(beats1, scores, best1)
     pos1_ref[:] = jnp.where(beats1, positions, pos1_ref[:])
     vals2_ref[:] = jnp.where(beats2, contender, best2)
@@ -113,11 +157,18 @@ def lane_max_scan(
     batch_tile: int = DEFAULT_BATCH_TILE,
     corpus_tile: int = DEFAULT_CORPUS_TILE,
     slots: int = 1,
+    track_discards: bool = False,
+    true_num_items: int | None = None,
     interpret: bool = False,
-) -> tuple[Array, Array]:
+) -> tuple[Array, ...]:
     """One fused sweep -> per-lane top-`slots` values/positions.
 
     Returns (values (B, slots*corpus_tile), positions (B, slots*corpus_tile)).
+    With ``track_discards=True``, also returns the per-row maximum value
+    ever evicted from any lane's slots, (B, 1) f32 — the single-sweep
+    exactness certificate (see ``certified_topk``). ``true_num_items``
+    masks zero-padding rows of the corpus to -inf inside the kernel so
+    both results and certificates see only the logical corpus.
     """
     batch, dim = queries.shape
     num_items = corpus.shape[0]
@@ -153,31 +204,57 @@ def lane_max_scan(
         bytes_accessed=corpus.size * corpus.dtype.itemsize,
         transcendentals=0,
     )
+    dmax_block = pl.BlockSpec(
+        (batch_tile, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+    )
+    extra_blocks = [dmax_block] if track_discards else []
+    extra_shapes = (
+        [jax.ShapeDtypeStruct((batch, 1), jnp.float32)]
+        if track_discards
+        else []
+    )
+    if true_num_items is not None and true_num_items >= num_items:
+        true_num_items = None
     if slots == 1:
-        kernel = functools.partial(_scan_kernel, corpus_tile=corpus_tile)
-        vals, pos = pl.pallas_call(
+        kernel = functools.partial(
+            _scan_kernel,
+            corpus_tile=corpus_tile,
+            true_num_items=true_num_items,
+        )
+        outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=block_in,
-            out_specs=[out_block, out_block],
-            out_shape=[out_shape_f, out_shape_i],
+            out_specs=[out_block, out_block, *extra_blocks],
+            out_shape=[out_shape_f, out_shape_i, *extra_shapes],
             cost_estimate=cost,
             interpret=interpret,
         )(queries, corpus)
-        return vals, pos
-    kernel = functools.partial(_scan2_kernel, corpus_tile=corpus_tile)
-    vals1, pos1, vals2, pos2 = pl.pallas_call(
+        return tuple(outs)
+    kernel = functools.partial(
+        _scan2_kernel,
+        corpus_tile=corpus_tile,
+        true_num_items=true_num_items,
+    )
+    vals1, pos1, vals2, pos2, *extra = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=block_in,
-        out_specs=[out_block, out_block, out_block, out_block],
-        out_shape=[out_shape_f, out_shape_i, out_shape_f, out_shape_i],
+        out_specs=[out_block, out_block, out_block, out_block, *extra_blocks],
+        out_shape=[
+            out_shape_f,
+            out_shape_i,
+            out_shape_f,
+            out_shape_i,
+            *extra_shapes,
+        ],
         cost_estimate=cost,
         interpret=interpret,
     )(queries, corpus)
     return (
         jnp.concatenate([vals1, vals2], axis=-1),
         jnp.concatenate([pos1, pos2], axis=-1),
+        *extra,
     )
 
 
@@ -189,6 +266,7 @@ def scan_topk(
     batch_tile: int = DEFAULT_BATCH_TILE,
     corpus_tile: int = DEFAULT_CORPUS_TILE,
     slots: int = 1,
+    true_num_items: int | None = None,
     interpret: bool = False,
 ) -> tuple[Array, Array]:
     """Fused-scan top-k (near-exact; see module docstring for recall)."""
@@ -198,6 +276,7 @@ def scan_topk(
         batch_tile=batch_tile,
         corpus_tile=corpus_tile,
         slots=slots,
+        true_num_items=true_num_items,
         interpret=interpret,
     )
     top_vals, top_lanes = jax.lax.top_k(vals, k)
@@ -263,7 +342,9 @@ def _round_up(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
 
 
-def _count_kernel(q_ref, tau_ref, corpus_ref, count_ref):
+def _count_kernel(
+    q_ref, tau_ref, corpus_ref, count_ref, *, corpus_tile, true_num_items
+):
     corpus_step = pl.program_id(1)
 
     @pl.when(corpus_step == 0)
@@ -276,8 +357,14 @@ def _count_kernel(q_ref, tau_ref, corpus_ref, count_ref):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    hits = (scores >= tau_ref[:]).astype(jnp.int32)
-    count_ref[:] += jnp.sum(hits, axis=-1, keepdims=True)
+    hits = scores >= tau_ref[:]
+    if true_num_items is not None:
+        base = corpus_step * corpus_tile
+        positions = base + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, dimension=1
+        )
+        hits = jnp.logical_and(hits, positions < true_num_items)
+    count_ref[:] += jnp.sum(hits.astype(jnp.int32), axis=-1, keepdims=True)
 
 
 def count_at_least(
@@ -287,6 +374,7 @@ def count_at_least(
     *,
     batch_tile: int = DEFAULT_BATCH_TILE,
     corpus_tile: int = DEFAULT_CORPUS_TILE,
+    true_num_items: int | None = None,
     interpret: bool = False,
 ) -> Array:
     """Per-row count of corpus scores >= tau (fused sweep, (B,) int32)."""
@@ -294,9 +382,15 @@ def count_at_least(
     num_items = corpus.shape[0]
     batch_tile = min(batch_tile, batch)
     corpus_tile = min(corpus_tile, num_items)
+    if true_num_items is not None and true_num_items >= num_items:
+        true_num_items = None
     grid = (batch // batch_tile, num_items // corpus_tile)
     counts = pl.pallas_call(
-        _count_kernel,
+        functools.partial(
+            _count_kernel,
+            corpus_tile=corpus_tile,
+            true_num_items=true_num_items,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -329,33 +423,70 @@ def certified_topk(
     batch_tile: int = DEFAULT_BATCH_TILE,
     corpus_tile: int = DEFAULT_CORPUS_TILE,
     slots: int = 2,
+    method: str = "discard",
+    true_num_items: int | None = None,
     interpret: bool = False,
 ) -> tuple[Array, Array, Array]:
     """Fused-scan top-k + per-row exactness certificate.
 
     Returns (values, positions, exact_mask). exact_mask[b] is True when
-    the row's result is *provably* the exact top-k (count at tau == k).
-    Callers needing guaranteed exactness re-run the (rare) uncertified
-    rows through the dense path; see RetrievalIndex.search_certified.
-    Default slots=2 (top-2 per lane): ~99% of rows certify at L=4096,
-    k=100 vs ~30% for slots=1.
+    the row's result is *provably* the exact top-k. Callers needing
+    guaranteed exactness re-run the (rare) uncertified rows through the
+    dense path; see RetrievalIndex.search_certified. Default slots=2
+    (top-2 per lane): ~96% of rows certify at L=2048, k=100 vs ~10% for
+    slots=1.
+
+    method="discard" (default): SINGLE sweep. The kernel tracks the
+    maximum value ever evicted from any lane's slots (one (bt, 1)
+    running max). Every corpus element either sits in a lane slot at the
+    end or was evicted; so if max(evicted) < tau (the k-th value found),
+    every element >= tau is still in the buffers and the selected top-k
+    is provably exact. A couple of VPU ops per tile instead of a second
+    matmul sweep.
+
+    method="count": two sweeps — after the scan, a fused count sweep
+    computes #{score >= tau} per row and certifies when it equals k.
+    Kept for cross-validation.
     """
-    top_vals, top_pos = scan_topk(
+    if method == "count":
+        top_vals, top_pos = scan_topk(
+            queries,
+            corpus,
+            k,
+            batch_tile=batch_tile,
+            corpus_tile=corpus_tile,
+            slots=slots,
+            true_num_items=true_num_items,
+            interpret=interpret,
+        )
+        tau = top_vals[:, k - 1]
+        counts = count_at_least(
+            queries,
+            corpus,
+            tau,
+            batch_tile=batch_tile,
+            corpus_tile=corpus_tile,
+            true_num_items=true_num_items,
+            interpret=interpret,
+        )
+        return top_vals, top_pos, counts == k
+    if method != "discard":
+        msg = f"unknown certification {method=}"
+        raise ValueError(msg)
+    vals, pos, dmax = lane_max_scan(
         queries,
         corpus,
-        k,
         batch_tile=batch_tile,
         corpus_tile=corpus_tile,
         slots=slots,
+        track_discards=True,
+        true_num_items=true_num_items,
         interpret=interpret,
     )
+    top_vals, top_lanes = jax.lax.top_k(vals, k)
+    top_pos = jnp.take_along_axis(pos, top_lanes, axis=-1)
     tau = top_vals[:, k - 1]
-    counts = count_at_least(
-        queries,
-        corpus,
-        tau,
-        batch_tile=batch_tile,
-        corpus_tile=corpus_tile,
-        interpret=interpret,
-    )
-    return top_vals, top_pos, counts == k
+    # strict <: an evicted value tied with tau could itself be a k-th
+    # element the buffers no longer hold, so ties stay uncertified.
+    exact = dmax[:, 0] < tau
+    return top_vals, top_pos, exact
