@@ -115,3 +115,49 @@ class TestShardedTopK:
             np.testing.assert_array_equal(
                 np.asarray(positions[i]), np.argsort(-ref[i])[:3]
             )
+
+
+class TestShardedCertifiedTopK:
+    def test_certified_rows_exact_and_fire(self):
+        from xfmr_rec_tpu.parallel import sharded_certified_topk
+
+        mesh = create_mesh(8, model_parallel=4)
+        rng = np.random.default_rng(2)
+        # 512 rows over 4 shards -> 128/shard; corpus_tile 128 -> L=128
+        corpus = rng.normal(size=(512, 16)).astype(np.float32)
+        queries = rng.normal(size=(8, 16)).astype(np.float32)
+        corpus_sharded = jax.device_put(
+            corpus, NamedSharding(mesh, P("model", None))
+        )
+        scores, positions, exact = sharded_certified_topk(
+            queries, corpus_sharded, 10, mesh, batch_tile=8, corpus_tile=128
+        )
+        exact = np.asarray(exact)
+        assert exact.any()
+        ref = queries @ corpus.T
+        for b in range(8):
+            if not exact[b]:
+                continue
+            want = np.sort(ref[b])[::-1][:10]
+            np.testing.assert_allclose(
+                np.sort(np.asarray(scores[b]))[::-1], want, rtol=1e-5
+            )
+            want_set = set(np.argsort(-ref[b])[:10].tolist())
+            assert set(np.asarray(positions[b]).tolist()) == want_set
+
+    def test_nondivisible_local_shard_padding(self):
+        from xfmr_rec_tpu.parallel import sharded_certified_topk
+
+        mesh = create_mesh(8, model_parallel=2)
+        rng = np.random.default_rng(3)
+        # 96 rows / 2 shards = 48 local rows -> padded to corpus_tile 64
+        corpus = rng.normal(size=(96, 8)).astype(np.float32)
+        queries = rng.normal(size=(4, 8)).astype(np.float32)
+        scores, positions, exact = sharded_certified_topk(
+            queries, corpus, 5, mesh, batch_tile=4, corpus_tile=64
+        )
+        assert (np.asarray(positions) < 96).all()
+        ref = queries @ corpus.T
+        for b in np.nonzero(np.asarray(exact))[0]:
+            want = set(np.argsort(-ref[b])[:5].tolist())
+            assert set(np.asarray(positions[b]).tolist()) == want

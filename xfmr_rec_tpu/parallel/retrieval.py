@@ -84,3 +84,86 @@ def sharded_topk(
         return top_scores, top_pos
 
     return inner(queries, corpus, exclude_positions)
+
+
+def sharded_certified_topk(
+    queries: Array,
+    corpus: Array,
+    k: int,
+    mesh: Mesh,
+    *,
+    batch_tile: int | None = None,
+    corpus_tile: int | None = None,
+    interpret: bool | None = None,
+) -> tuple[Array, Array, Array]:
+    """Exact-certified top-k over an item-sharded corpus (Pallas per shard).
+
+    Each device runs the fused scan kernel (ops/topk_pallas.py,
+    2 slots + discard-max) on its local corpus tile, takes a local
+    top-k, and the (m, B, k) candidate sets merge after an all-gather
+    over ICI. The exactness certificate composes across shards: a
+    row's result is provably the exact top-k (by score multiset) iff
+    pmax over devices of the per-shard discard-max is < tau, the k-th
+    merged value. Proof sketch: an element >= tau on shard d is either
+    still in d's lane buffers — and then either inside d's local top-k
+    (so in the merged pool) or beaten by k local values >= it, which
+    themselves enter the pool and push tau up to its value — or it was
+    evicted, which the shard's discard-max records.
+
+    Returns (scores (B, k), positions (B, k), exact (B,) bool),
+    replicated.
+    """
+    from xfmr_rec_tpu.ops import topk_pallas as tk
+
+    num_model = mesh.shape[MODEL_AXIS]
+    local_n = corpus.shape[0] // num_model
+    if corpus.shape[0] % num_model:
+        msg = f"corpus rows {corpus.shape[0]} % mesh '{MODEL_AXIS}' != 0"
+        raise ValueError(msg)
+    batch = queries.shape[0]
+    bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, batch)
+    ct = corpus_tile or min(
+        tk.DEFAULT_CORPUS_TILE, 1 << (local_n - 1).bit_length()
+    )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    local_k = min(k, local_n)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(MODEL_AXIS, None)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def inner(q, corpus_local):
+        pad = -local_n % ct
+        corpus_padded = (
+            jnp.pad(corpus_local, ((0, pad), (0, 0))) if pad else corpus_local
+        )
+        vals, pos, dmax = tk.lane_max_scan(
+            q,
+            corpus_padded,
+            batch_tile=bt,
+            corpus_tile=ct,
+            slots=2,
+            track_discards=True,
+            true_num_items=local_n if pad else None,
+            interpret=interpret,
+        )
+        local_scores, local_arg = jax.lax.top_k(vals, local_k)
+        offset = jax.lax.axis_index(MODEL_AXIS) * local_n
+        local_pos = offset + jnp.take_along_axis(pos, local_arg, axis=-1)
+        all_scores = jax.lax.all_gather(local_scores, MODEL_AXIS)
+        all_pos = jax.lax.all_gather(local_pos, MODEL_AXIS)
+        all_scores = all_scores.transpose(1, 0, 2).reshape(q.shape[0], -1)
+        all_pos = all_pos.transpose(1, 0, 2).reshape(q.shape[0], -1)
+        top_scores, merge_arg = jax.lax.top_k(all_scores, k)
+        top_pos = jnp.take_along_axis(all_pos, merge_arg, axis=-1)
+        tau = top_scores[:, k - 1]
+        global_dmax = jax.lax.pmax(dmax[:, 0], MODEL_AXIS)
+        # strict <: evicted ties at tau stay uncertified (same convention
+        # as the single-chip certificate)
+        return top_scores, top_pos, global_dmax < tau
+
+    return inner(queries, corpus)
