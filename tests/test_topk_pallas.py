@@ -204,6 +204,71 @@ class TestScanIndex:
         )
 
 
+class TestLaneShuffle:
+    def test_shuffled_positions_score_consistent(self, data):
+        queries, corpus = data
+        vals, pos = lane_max_scan(queries, corpus, lane_shuffle=1, **TILE)
+        scores = queries @ corpus.T
+        for b in range(B):
+            np.testing.assert_allclose(
+                np.asarray(vals[b]), scores[b][np.asarray(pos[b])], rtol=1e-5
+            )
+
+    def test_shuffle_decorrelates_collisions(self, data):
+        """Items colliding under identity (same column, different tiles)
+        never collide under shuffle=1 when num_tiles <= L."""
+        queries, corpus = data
+        _, pos0 = lane_max_scan(queries, corpus, **TILE)
+        _, pos1 = lane_max_scan(queries, corpus, lane_shuffle=1, **TILE)
+        # identity: lane = pos % 128; shuffled: lane = (pos%128 - tile) % 128
+        p = np.arange(N)
+        lane_id = p % 128
+        lane_sh = (p % 128 - p // 128) % 128
+        same = (lane_id[:, None] == lane_id[None, :]) & (
+            lane_sh[:, None] == lane_sh[None, :]
+        )
+        np.fill_diagonal(same, False)
+        assert not same.any()
+
+    def test_shuffled_certified_rows_exact(self, data):
+        from xfmr_rec_tpu.ops.topk_pallas import certified_topk_parts
+
+        queries, corpus = data
+        vals, pos, dmax = certified_topk_parts(
+            queries, corpus, K, lane_shuffle=3, **TILE
+        )
+        scores = queries @ corpus.T
+        exact = np.asarray(dmax) < np.asarray(vals[:, K - 1])
+        assert exact.any()
+        for b in np.nonzero(exact)[0]:
+            want = set(np.argsort(-scores[b])[:K].tolist())
+            assert set(np.asarray(pos[b]).tolist()) == want
+
+
+class TestCertifiedRetry:
+    def test_search_certified_retry_path(self):
+        """Force pass-1 lane collisions; the shuffled retry must certify
+        (no dense fallback needed) and return exact rows."""
+        from xfmr_rec_tpu.index import RetrievalIndex
+
+        rng = np.random.default_rng(11)
+        corpus = rng.normal(size=(256, 8)).astype(np.float32) * 0.01
+        queries = rng.normal(size=(8, 8)).astype(np.float32)
+        # plant each query's two best items in the same identity lane
+        # (positions j and j+128 share lane j at corpus_tile=128)
+        for i in range(8):
+            corpus[i] = queries[i] * 10
+            corpus[i + 128] = queries[i] * 9
+        idx = RetrievalIndex(
+            corpus, np.arange(1, 257), dtype="float32", method="scan"
+        )
+        scores, ids = idx.search_certified(queries, top_k=5)
+        ref = queries @ corpus.T
+        for b in range(8):
+            want = np.sort(ref[b])[::-1][:5]
+            np.testing.assert_allclose(scores[b], want, rtol=1e-5)
+
+
 class TestTrueNumItems:
     def test_kernel_masks_padding_rows(self, data):
         queries, corpus = data

@@ -136,6 +136,10 @@ class RetrievalIndex:
         if embeddings.shape[0] != len(ids):
             msg = "embeddings and ids must align"
             raise ValueError(msg)
+        if method == "auto":
+            # the fused scan kernel wins once the (B, N) score matrix
+            # stops fitting comfortably; small corpora are faster dense
+            method = "scan" if embeddings.shape[0] >= 65536 else "dense"
         if method not in ("dense", "scan"):
             msg = f"unknown search method {method!r}"
             raise ValueError(msg)
@@ -218,18 +222,23 @@ class RetrievalIndex:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Guaranteed-exact batched search (no exclusions).
 
-        One fused Pallas sweep with per-row exactness certificates
-        (ops/topk_pallas.py certified_topk); the rare uncertified rows
-        (lane collisions / score ties) are re-run through the dense exact
-        path, so every returned row is provably the exact top-k.
+        Three escalating passes, each certifying per row:
+        1. fused Pallas sweep with discard-max certificates
+           (ops/topk_pallas.py certified_topk_parts) — ~96% of rows;
+        2. for uncertified rows, one retry sweep with a shuffled
+           position->lane mapping (lane_shuffle=1 decorrelates every
+           pass-1 collision); the merged candidate pool certifies when
+           min(dmax_1, dmax_2) < merged tau — catches ~all the rest;
+        3. dense exact fallback for anything still uncertified (ties).
 
-        Returns (scores (B, k), item_ids (B, k)).
+        Returns (scores (B, k), item_ids (B, k)); every row is provably
+        the exact top-k by score multiset.
         """
         import jax
 
         from xfmr_rec_tpu.ops.topk_pallas import (
             DEFAULT_CORPUS_TILE,
-            certified_topk,
+            certified_topk_parts,
         )
 
         queries = jnp.asarray(queries, dtype=self.corpus.dtype)
@@ -246,15 +255,16 @@ class RetrievalIndex:
             )
             interpret = jax.default_backend() == "cpu"
             self._certified_fn = jax.jit(
-                lambda q, k: certified_topk(
+                lambda q, k, shuffle: certified_topk_parts(
                     q,
                     corpus_padded,
                     k,
                     corpus_tile=tile,
                     true_num_items=true_n,
+                    lane_shuffle=shuffle,
                     interpret=interpret,
                 ),
-                static_argnames=("k",),
+                static_argnames=("k", "shuffle"),
             )
             self._dense_fn = jax.jit(
                 lambda q, k: exact_topk(
@@ -262,20 +272,64 @@ class RetrievalIndex:
                 ),
                 static_argnames=("k",),
             )
-        scores, positions, exact = self._certified_fn(queries, top_k)
-        scores = np.asarray(scores)
-        positions = np.asarray(positions)
-        bad = np.nonzero(~np.asarray(exact))[0]
+        vals1, pos1, dmax1 = self._certified_fn(queries, top_k, 0)
+        # np.array copies: device buffers are read-only views and the
+        # retry/fallback stages write into these
+        scores = np.array(vals1)
+        positions = np.array(pos1)
+        # per-row min of dmax over passes: an element above the merged
+        # tau missing from the candidate union must have been evicted in
+        # EVERY pass, so min(dmax_i) <= tau certifies the union's top-k
+        best_dmax = np.array(dmax1)
+        # <=: score-multiset exactness (see certified_topk docstring)
+        bad = np.nonzero(~(best_dmax <= scores[:, top_k - 1]))[0]
+        stats = {"batch": int(scores.shape[0]), "pass1_bad": int(bad.size)}
+        queries_np = np.asarray(queries, dtype=np.float32)
+        pools: dict[int, tuple[np.ndarray, np.ndarray]] = {
+            int(b): (positions[b], scores[b]) for b in bad
+        }
+        for shuffle in (1, 3, 5):
+            if not bad.size:
+                break
+            # pad retry batches to stable power-of-two jit shapes
+            width = max(128, 1 << (int(bad.size) - 1).bit_length())
+            retry = np.zeros((width, self.dim), dtype=np.float32)
+            retry[: bad.size] = queries_np[bad]
+            v, p, d = self._certified_fn(
+                jnp.asarray(retry, dtype=self.corpus.dtype), top_k, shuffle
+            )
+            v = np.asarray(v)[: bad.size]
+            p = np.asarray(p)[: bad.size]
+            d = np.asarray(d)[: bad.size]
+            still_bad = []
+            for row, b in enumerate(bad):
+                b = int(b)
+                best_dmax[b] = min(best_dmax[b], d[row])
+                pool_pos = np.concatenate([pools[b][0], p[row]])
+                pool_val = np.concatenate([pools[b][1], v[row]])
+                # dedupe the merged pool by position, keep best k
+                _, first = np.unique(pool_pos, return_index=True)
+                order = first[np.argsort(-pool_val[first], kind="stable")]
+                take = order[:top_k]
+                pools[b] = (pool_pos[take], pool_val[take])
+                tau = pool_val[take[-1]]
+                if best_dmax[b] <= tau and len(take) == top_k:
+                    scores[b] = pool_val[take]
+                    positions[b] = pool_pos[take]
+                else:
+                    still_bad.append(b)
+            bad = np.asarray(still_bad, dtype=np.int64)
+        stats["retry_bad"] = int(bad.size)
         if bad.size:
-            # pad the retry batch to a power of two for stable jit shapes
             width = max(8, 1 << (int(bad.size) - 1).bit_length())
             retry = np.zeros((width, self.dim), dtype=np.float32)
-            retry[: bad.size] = np.asarray(queries, dtype=np.float32)[bad]
-            s2, p2 = self._dense_fn(
+            retry[: bad.size] = queries_np[bad]
+            s3, p3 = self._dense_fn(
                 jnp.asarray(retry, dtype=self.corpus.dtype), top_k
             )
-            scores[bad] = np.asarray(s2)[: bad.size]
-            positions[bad] = np.asarray(p2)[: bad.size]
+            scores[bad] = np.asarray(s3)[: bad.size]
+            positions[bad] = np.asarray(p3)[: bad.size]
+        self.last_certified_stats = stats
         return scores, self.ids[positions]
 
     def search(

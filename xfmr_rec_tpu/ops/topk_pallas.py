@@ -56,8 +56,42 @@ DEFAULT_BATCH_TILE = 256
 DEFAULT_CORPUS_TILE = 2048
 
 
+def _lane_mapped_scores(scores, corpus_step, corpus_tile, lane_shuffle):
+    """Map tile scores onto lanes; returns (scores, positions).
+
+    Default mapping is identity (tile column j == lane j). With
+    ``lane_shuffle`` s != 0, the tile's scores are rotated by
+    shift = (tile_index * s) mod L before the slot contest, so lane l
+    holds item (l - shift) mod L of the tile. Two items in different
+    tiles t1 != t2 that collide under the identity mapping (same column)
+    land in different lanes whenever (t1 - t2) * s != 0 mod L — with
+    s=1 and num_tiles <= L, NO identity-mapping collision survives,
+    which is what makes a shuffled retry pass effective for rows the
+    first pass could not certify.
+    """
+    base = corpus_step * corpus_tile
+    iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+    if not lane_shuffle:
+        return scores, base + iota
+    shift = (corpus_step * lane_shuffle) % corpus_tile
+    scores = pltpu.roll(scores, shift, 1)
+    # pltpu.roll(x, shift, 1) places input column j at lane (j - shift)
+    # mod L, i.e. lane l holds tile item (l - shift) mod L:
+    positions = base + jax.lax.rem(
+        iota - shift + corpus_tile, corpus_tile
+    )
+    return scores, positions
+
+
 def _scan_kernel(
-    q_ref, corpus_ref, vals_ref, pos_ref, *rest, corpus_tile, true_num_items
+    q_ref,
+    corpus_ref,
+    vals_ref,
+    pos_ref,
+    *rest,
+    corpus_tile,
+    true_num_items,
+    lane_shuffle=0,
 ):
     corpus_step = pl.program_id(1)
     dmax_ref = rest[0] if rest else None
@@ -75,9 +109,8 @@ def _scan_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (batch_tile, corpus_tile)
-    base = corpus_step * corpus_tile
-    positions = base + jax.lax.broadcasted_iota(
-        jnp.int32, scores.shape, dimension=1
+    scores, positions = _lane_mapped_scores(
+        scores, corpus_step, corpus_tile, lane_shuffle
     )
     if true_num_items is not None:
         scores = jnp.where(positions < true_num_items, scores, NEG_INF)
@@ -104,6 +137,7 @@ def _scan2_kernel(
     *rest,
     corpus_tile,
     true_num_items,
+    lane_shuffle=0,
 ):
     """Top-2-per-lane variant: a lane loses a true top-k item only when
     THREE of them collide in it — certification rate ~99% at L=4096."""
@@ -125,9 +159,8 @@ def _scan2_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    base = corpus_step * corpus_tile
-    positions = base + jax.lax.broadcasted_iota(
-        jnp.int32, scores.shape, dimension=1
+    scores, positions = _lane_mapped_scores(
+        scores, corpus_step, corpus_tile, lane_shuffle
     )
     if true_num_items is not None:
         scores = jnp.where(positions < true_num_items, scores, NEG_INF)
@@ -159,6 +192,7 @@ def lane_max_scan(
     slots: int = 1,
     track_discards: bool = False,
     true_num_items: int | None = None,
+    lane_shuffle: int = 0,
     interpret: bool = False,
 ) -> tuple[Array, ...]:
     """One fused sweep -> per-lane top-`slots` values/positions.
@@ -220,6 +254,7 @@ def lane_max_scan(
             _scan_kernel,
             corpus_tile=corpus_tile,
             true_num_items=true_num_items,
+            lane_shuffle=lane_shuffle,
         )
         outs = pl.pallas_call(
             kernel,
@@ -235,6 +270,7 @@ def lane_max_scan(
         _scan2_kernel,
         corpus_tile=corpus_tile,
         true_num_items=true_num_items,
+        lane_shuffle=lane_shuffle,
     )
     vals1, pos1, vals2, pos2, *extra = pl.pallas_call(
         kernel,
@@ -430,11 +466,12 @@ def certified_topk(
     """Fused-scan top-k + per-row exactness certificate.
 
     Returns (values, positions, exact_mask). exact_mask[b] is True when
-    the row's result is *provably* the exact top-k. Callers needing
-    guaranteed exactness re-run the (rare) uncertified rows through the
-    dense path; see RetrievalIndex.search_certified. Default slots=2
-    (top-2 per lane): ~96% of rows certify at L=2048, k=100 vs ~10% for
-    slots=1.
+    the row's result is *provably* the exact top-k by score multiset
+    (tied items at the k-th score may swap identity). Callers needing
+    guaranteed exactness re-run the (rare) uncertified rows through a
+    lane-shuffled retry and then the dense path; see
+    RetrievalIndex.search_certified. Default slots=2 (top-2 per lane):
+    ~96% of rows certify at L=2048, k=100 vs ~10% for slots=1.
 
     method="discard" (default): SINGLE sweep. The kernel tracks the
     maximum value ever evicted from any lane's slots (one (bt, 1)
@@ -473,6 +510,51 @@ def certified_topk(
     if method != "discard":
         msg = f"unknown certification {method=}"
         raise ValueError(msg)
+    top_vals, top_pos, dmax = certified_topk_parts(
+        queries,
+        corpus,
+        k,
+        batch_tile=batch_tile,
+        corpus_tile=corpus_tile,
+        slots=slots,
+        true_num_items=true_num_items,
+        interpret=interpret,
+    )
+    tau = top_vals[:, k - 1]
+    # dmax <= tau certifies SCORE-MULTISET exactness: no evicted value
+    # exceeds tau, so every element scoring strictly above tau is still
+    # in the lane buffers and gets selected; the boundary fills with
+    # tau-valued elements, which are interchangeable with any tied
+    # true-top-k element. (Tied items at the k-th score may swap
+    # identity — same guarantee contract as any score-ranked retriever;
+    # bf16 scores over large corpora tie routinely, so a strict <
+    # certificate would reject rows whose returned scores are provably
+    # optimal.)
+    exact = dmax <= tau
+    return top_vals, top_pos, exact
+
+
+def certified_topk_parts(
+    queries: Array,
+    corpus: Array,
+    k: int,
+    *,
+    batch_tile: int = DEFAULT_BATCH_TILE,
+    corpus_tile: int = DEFAULT_CORPUS_TILE,
+    slots: int = 2,
+    true_num_items: int | None = None,
+    lane_shuffle: int = 0,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """Discard-certified scan returning raw parts for multi-pass merges.
+
+    Returns (top_vals (B, k), top_pos (B, k), dmax (B,)) where dmax is
+    the max value ever evicted from any lane. Passes with different
+    ``lane_shuffle`` values have decorrelated lane collisions; merged
+    pools certify via min-over-passes of dmax < merged tau (an element
+    >= tau absent from the union must have been evicted in EVERY pass).
+    See RetrievalIndex.search_certified for the retry composition.
+    """
     vals, pos, dmax = lane_max_scan(
         queries,
         corpus,
@@ -481,12 +563,9 @@ def certified_topk(
         slots=slots,
         track_discards=True,
         true_num_items=true_num_items,
+        lane_shuffle=lane_shuffle,
         interpret=interpret,
     )
     top_vals, top_lanes = jax.lax.top_k(vals, k)
     top_pos = jnp.take_along_axis(pos, top_lanes, axis=-1)
-    tau = top_vals[:, k - 1]
-    # strict <: an evicted value tied with tau could itself be a k-th
-    # element the buffers no longer hold, so ties stay uncertified.
-    exact = dmax[:, 0] < tau
-    return top_vals, top_pos, exact
+    return top_vals, top_pos, dmax[:, 0]

@@ -162,8 +162,8 @@ def sharded_certified_topk(
         top_pos = jnp.take_along_axis(all_pos, merge_arg, axis=-1)
         tau = top_scores[:, k - 1]
         global_dmax = jax.lax.pmax(dmax[:, 0], MODEL_AXIS)
-        # strict <: evicted ties at tau stay uncertified (same convention
-        # as the single-chip certificate)
-        return top_scores, top_pos, global_dmax < tau
+        # <=: score-multiset exactness, same convention as the
+        # single-chip certificate (ops/topk_pallas.py certified_topk)
+        return top_scores, top_pos, global_dmax <= tau
 
     return inner(queries, corpus)

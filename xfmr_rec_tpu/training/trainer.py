@@ -219,7 +219,11 @@ class Trainer:
             for text, rn in zip(self.data.item_texts, self.data.item_rns)
         ]
         self.index = RetrievalIndex(
-            corpus, self.data.item_ids, metadata, id_col="movie_id"
+            corpus,
+            self.data.item_ids,
+            metadata,
+            id_col="movie_id",
+            method="auto",
         )
         return self.index
 
