@@ -69,9 +69,14 @@ class RecommenderEngine:
         template = self.model.init(
             {"params": jax.random.PRNGKey(0)}, dummy, deterministic=True
         )["params"]
-        self.params = serialization.from_bytes(
-            template, (path / "encoder.msgpack").read_bytes()
+        self.params = jax.device_put(
+            serialization.from_bytes(
+                template, (path / "encoder.msgpack").read_bytes()
+            )
         )
+        # pinning params on device matters: deserialized numpy pytrees
+        # would otherwise be re-uploaded on EVERY request (host->device
+        # transfer per call instead of once at load)
         self.index = RetrievalIndex.load(path / "index")
 
         import pandas as pd
