@@ -39,7 +39,7 @@ TOP_K = 100
 BATCH_TILE = 256
 CORPUS_TILE = 2048
 WARMUP = 3
-ITERS = 10
+ITERS = 20
 
 
 def main() -> None:

@@ -57,7 +57,8 @@ def main() -> None:
     )
     exact_vals, exact_pos = jax.block_until_ready(exact_fn(queries_dev))
     exact_vals = np.asarray(exact_vals)
-    exact_sets = [set(np.asarray(exact_pos[i]).tolist()) for i in range(BATCH)]
+    exact_pos = np.asarray(exact_pos)  # one transfer, not one per row
+    exact_sets = [set(exact_pos[i].tolist()) for i in range(BATCH)]
     print("exact reference done", flush=True)
 
     for bt, ct, slots, method in CONFIGS:

@@ -216,14 +216,21 @@ class TestLaneShuffle:
 
     def test_shuffle_decorrelates_collisions(self, data):
         """Items colliding under identity (same column, different tiles)
-        never collide under shuffle=1 when num_tiles <= L."""
+        never collide under shuffle=1 when num_tiles <= L — verified on
+        the KERNEL's reported positions, not just the lane formula."""
         queries, corpus = data
-        _, pos0 = lane_max_scan(queries, corpus, **TILE)
         _, pos1 = lane_max_scan(queries, corpus, lane_shuffle=1, **TILE)
-        # identity: lane = pos % 128; shuffled: lane = (pos%128 - tile) % 128
+        pos1 = np.asarray(pos1)
+        # the kernel's shuffled mapping must satisfy
+        # lane = (pos % L + tile_index) % L for every winner it reports
+        # (lane l holds tile item (l - shift) mod L with shift = tile)
+        lanes = np.broadcast_to(np.arange(128)[None, :], pos1.shape)
+        want_lane = (pos1 % 128 + pos1 // 128) % 128
+        np.testing.assert_array_equal(lanes, want_lane)
+        # and that mapping provably separates every identity collision
         p = np.arange(N)
         lane_id = p % 128
-        lane_sh = (p % 128 - p // 128) % 128
+        lane_sh = (p % 128 + p // 128) % 128
         same = (lane_id[:, None] == lane_id[None, :]) & (
             lane_sh[:, None] == lane_sh[None, :]
         )
@@ -243,6 +250,47 @@ class TestLaneShuffle:
         for b in np.nonzero(exact)[0]:
             want = set(np.argsort(-scores[b])[:K].tolist())
             assert set(np.asarray(pos[b]).tolist()) == want
+
+
+class TestScanPaddingSafety:
+    def test_padding_rows_never_leak_into_results(self):
+        """Zero-padding corpus rows score 0, which beats all-negative real
+        scores; the kernel must mask them BEFORE selection so returned
+        positions stay in range (regression: post-hoc masking kept the
+        out-of-range positions and could IndexError id lookup)."""
+        from xfmr_rec_tpu.ops.topk_pallas import scan_topk_excluding
+
+        rng = np.random.default_rng(13)
+        base = rng.normal(size=(8, 8)).astype(np.float32)
+        # corpus anti-aligned with every query: all real scores negative
+        queries = base
+        corpus = np.concatenate(
+            [-base, np.zeros((120, 8), np.float32)]
+        )  # 8 real rows, 120 zero-padding rows
+        vals, pos = scan_topk_excluding(
+            queries, corpus, 5, true_num_items=8,
+            batch_tile=8, corpus_tile=128, interpret=True,
+        )
+        finite = np.isfinite(np.asarray(vals))
+        assert (np.asarray(pos)[finite] < 8).all()
+
+    def test_search_certified_odd_batch_sizes(self):
+        from xfmr_rec_tpu.index import RetrievalIndex
+
+        rng = np.random.default_rng(14)
+        corpus = rng.normal(size=(300, 8)).astype(np.float32)
+        idx = RetrievalIndex(
+            corpus, np.arange(1, 301), dtype="float32", method="scan"
+        )
+        ref = None
+        for batch in (1, 3, 20, 300):
+            queries = rng.normal(size=(batch, 8)).astype(np.float32)
+            scores, ids = idx.search_certified(queries, top_k=7)
+            assert scores.shape == (batch, 7)
+            want = np.sort(queries @ corpus.T, axis=-1)[:, ::-1][:, :7]
+            np.testing.assert_allclose(scores, want, rtol=1e-5)
+            ref = ids
+        assert ref is not None
 
 
 class TestCertifiedRetry:

@@ -153,19 +153,9 @@ class RetrievalIndex:
         self.corpus = jnp.asarray(embeddings, dtype=dtype)
         self._ids_dev = jnp.asarray(self.ids.astype(np.int32))
         if method == "scan":
-            from xfmr_rec_tpu.ops.topk_pallas import (
-                DEFAULT_CORPUS_TILE,
-                scan_topk_excluding,
-            )
+            from xfmr_rec_tpu.ops.topk_pallas import scan_topk_excluding
 
-            true_n = self.corpus.shape[0]
-            tile = min(DEFAULT_CORPUS_TILE, 1 << (true_n - 1).bit_length())
-            pad = -true_n % tile
-            corpus_padded = (
-                jnp.pad(self.corpus, ((0, pad), (0, 0))) if pad else self.corpus
-            )
-            # Pallas compiles on TPU; CPU (tests) runs the interpreter
-            interpret = jax.default_backend() == "cpu"
+            corpus_padded, tile, true_n, interpret = self._scan_setup()
             self._search_fn = jax.jit(
                 lambda q, excl, k: scan_topk_excluding(
                     q,
@@ -189,6 +179,28 @@ class RetrievalIndex:
                 ),
                 static_argnames=("k",),
             )
+
+    def _scan_setup(self):
+        """Padded corpus + tile geometry for the Pallas scan paths.
+
+        Cached so the scan search fn and the certified search fn share
+        ONE padded corpus copy in device memory.
+        """
+        if not hasattr(self, "_scan_state"):
+            from xfmr_rec_tpu.ops.topk_pallas import DEFAULT_CORPUS_TILE
+
+            true_n = self.corpus.shape[0]
+            tile = min(DEFAULT_CORPUS_TILE, 1 << (true_n - 1).bit_length())
+            pad = -true_n % tile
+            corpus_padded = (
+                jnp.pad(self.corpus, ((0, pad), (0, 0)))
+                if pad
+                else self.corpus
+            )
+            # Pallas compiles on TPU; CPU (tests) runs the interpreter
+            interpret = jax.default_backend() == "cpu"
+            self._scan_state = (corpus_padded, tile, true_n, interpret)
+        return self._scan_state
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -236,24 +248,13 @@ class RetrievalIndex:
         """
         import jax
 
-        from xfmr_rec_tpu.ops.topk_pallas import (
-            DEFAULT_CORPUS_TILE,
-            certified_topk_parts,
-        )
+        from xfmr_rec_tpu.ops.topk_pallas import certified_topk_parts
 
         queries = jnp.asarray(queries, dtype=self.corpus.dtype)
         if queries.ndim == 1:
             queries = queries[None, :]
         if not hasattr(self, "_certified_fn"):
-            true_n = self.corpus.shape[0]
-            tile = min(DEFAULT_CORPUS_TILE, 1 << (true_n - 1).bit_length())
-            pad = -true_n % tile
-            corpus_padded = (
-                jnp.pad(self.corpus, ((0, pad), (0, 0)))
-                if pad
-                else self.corpus
-            )
-            interpret = jax.default_backend() == "cpu"
+            corpus_padded, tile, true_n, interpret = self._scan_setup()
             self._certified_fn = jax.jit(
                 lambda q, k, shuffle: certified_topk_parts(
                     q,
@@ -272,6 +273,13 @@ class RetrievalIndex:
                 ),
                 static_argnames=("k",),
             )
+        # pad the batch to a lane_max_scan-tileable width (pow2, >= 8,
+        # stable shapes for the jit cache); padding rows are dropped at
+        # the end and zero queries certify trivially
+        true_batch = queries.shape[0]
+        width = max(8, 1 << (true_batch - 1).bit_length())
+        if width != true_batch:
+            queries = jnp.pad(queries, ((0, width - true_batch), (0, 0)))
         vals1, pos1, dmax1 = self._certified_fn(queries, top_k, 0)
         # np.array copies: device buffers are read-only views and the
         # retry/fallback stages write into these
@@ -281,9 +289,12 @@ class RetrievalIndex:
         # tau missing from the candidate union must have been evicted in
         # EVERY pass, so min(dmax_i) <= tau certifies the union's top-k
         best_dmax = np.array(dmax1)
-        # <=: score-multiset exactness (see certified_topk docstring)
-        bad = np.nonzero(~(best_dmax <= scores[:, top_k - 1]))[0]
-        stats = {"batch": int(scores.shape[0]), "pass1_bad": int(bad.size)}
+        # <=: score-multiset exactness (see certified_topk docstring);
+        # batch-padding rows are excluded from the retry set outright
+        uncertified = ~(best_dmax <= scores[:, top_k - 1])
+        uncertified[true_batch:] = False
+        bad = np.nonzero(uncertified)[0]
+        stats = {"batch": true_batch, "pass1_bad": int(bad.size)}
         queries_np = np.asarray(queries, dtype=np.float32)
         pools: dict[int, tuple[np.ndarray, np.ndarray]] = {
             int(b): (positions[b], scores[b]) for b in bad
@@ -330,6 +341,8 @@ class RetrievalIndex:
             scores[bad] = np.asarray(s3)[: bad.size]
             positions[bad] = np.asarray(p3)[: bad.size]
         self.last_certified_stats = stats
+        scores = scores[:true_batch]
+        positions = positions[:true_batch]
         return scores, self.ids[positions]
 
     def search(

@@ -75,8 +75,9 @@ def _lane_mapped_scores(scores, corpus_step, corpus_tile, lane_shuffle):
         return scores, base + iota
     shift = (corpus_step * lane_shuffle) % corpus_tile
     scores = pltpu.roll(scores, shift, 1)
-    # pltpu.roll(x, shift, 1) places input column j at lane (j - shift)
-    # mod L, i.e. lane l holds tile item (l - shift) mod L:
+    # pltpu.roll(x, shift, 1) places input column j at lane (j + shift)
+    # mod L (np.roll semantics), i.e. lane l holds tile item
+    # (l - shift) mod L:
     positions = base + jax.lax.rem(
         iota - shift + corpus_tile, corpus_tile
     )
@@ -140,7 +141,8 @@ def _scan2_kernel(
     lane_shuffle=0,
 ):
     """Top-2-per-lane variant: a lane loses a true top-k item only when
-    THREE of them collide in it — certification rate ~99% at L=4096."""
+    THREE of them collide in it — certification rate ~96% at the default
+    L=2048 (k=100), vs ~10% for one slot."""
     corpus_step = pl.program_id(1)
     dmax_ref = rest[0] if rest else None
 
@@ -353,6 +355,10 @@ def scan_topk_excluding(
             )
     slack = 0 if exclude_positions is None else exclude_positions.shape[1]
     fetch = min(k + slack, slots * min(corpus_tile, corpus.shape[0]))
+    # true_num_items masks IN-KERNEL: padding rows must not reach the
+    # lanes at all — zero rows score 0, which outranks negative real
+    # scores and would both eat the exclusion slack and leak
+    # out-of-range positions into the results
     vals, pos = scan_topk(
         queries,
         corpus,
@@ -360,10 +366,9 @@ def scan_topk_excluding(
         batch_tile=batch_tile,
         corpus_tile=corpus_tile,
         slots=slots,
+        true_num_items=true_num_items,
         interpret=interpret,
     )
-    if true_num_items is not None and true_num_items < corpus.shape[0]:
-        vals = jnp.where(pos < true_num_items, vals, NEG_INF)
     if exclude_positions is not None:
         hit = jnp.any(
             pos[:, :, None] == exclude_positions[:, None, :], axis=-1
