@@ -31,12 +31,38 @@ class MetricsLogger:
             self._tb = SummaryWriter(str(self.log_dir))
         except ImportError:
             logger.info("tensorboardX unavailable; TB logging disabled")
+        # optional MLflow sink, mirroring the reference's dual
+        # TensorBoard+MLflow loggers (lightning.py:358-397); active only
+        # when mlflow is installed — it is not baked into this image
+        self._mlflow = None
+        try:
+            import mlflow
+
+            mlflow.set_experiment(str(pathlib.Path(log_dir).name))
+            self._mlflow_run = mlflow.start_run(run_name=run_name)
+            self._mlflow = mlflow
+        except ImportError:
+            pass
+        except Exception:  # noqa: BLE001 — tracking server issues
+            logger.warning("mlflow present but start_run failed", exc_info=True)
         self._start = time.time()
 
     def log_hyperparams(self, params: dict[str, Any]) -> None:
         (self.log_dir / "config.json").write_text(
             json.dumps(params, indent=2, default=str)
         )
+        if self._mlflow is not None:
+            flat = {
+                f"{section}.{key}": value
+                for section, sub in params.items()
+                for key, value in (
+                    sub.items() if isinstance(sub, dict) else [("", sub)]
+                )
+            }
+            self._mlflow.log_params(flat)
+            # archive the config like the reference's
+            # LoggerSaveConfigCallback (lightning.py:331-355)
+            self._mlflow.log_artifact(str(self.log_dir / "config.json"))
 
     def log_metrics(self, metrics: dict[str, Any], step: int) -> None:
         scalars = {
@@ -52,8 +78,14 @@ class MetricsLogger:
         if self._tb is not None:
             for key, value in scalars.items():
                 self._tb.add_scalar(key, value, step)
+        if self._mlflow is not None:
+            self._mlflow.log_metrics(
+                {k.replace("/", "_"): v for k, v in scalars.items()}, step
+            )
 
     def close(self) -> None:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._mlflow is not None:
+            self._mlflow.end_run()
