@@ -186,6 +186,29 @@ class TestTrainerLoop:
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    def test_resume_continues_training(self, trained, dm, tmp_path_factory):
+        """Elastic recovery: restore (params + opt_state + step) and keep
+        fitting — the reference's Ray checkpoint-restart path
+        (ray.py:60-64) redesigned as orbax restore + continued fit."""
+        trainer, _ = trained
+        trainer.save_checkpoint("resume")
+        fresh = Trainer(
+            TrainConfig(**TINY_MODEL, learning_rate=0.003),
+            data=dm,
+            trainer_config=TrainerConfig(
+                log_dir=str(tmp_path_factory.mktemp("runs3")),
+                run_name="t3",
+                ckpt_dir=str(trainer._ckpt_path("resume").parent),
+                max_steps=trainer.global_step + 2,
+                limit_val_batches=1,
+            ),
+        )
+        fresh.restore_checkpoint("resume")
+        start = fresh.global_step
+        metrics = fresh.fit()
+        assert fresh.global_step == start + 2
+        assert np.isfinite(metrics.get("val/RetrievalNormalizedDCG", 0.0))
+
     def test_artifact_save(self, trained, tmp_path_factory):
         trainer, _ = trained
         path = tmp_path_factory.mktemp("artifact") / "model"

@@ -152,14 +152,20 @@ class RetrievalIndex:
         # bf16 corpus in device memory: halves HBM traffic for scoring
         self.corpus = jnp.asarray(embeddings, dtype=dtype)
         self._ids_dev = jnp.asarray(self.ids.astype(np.int32))
+        # NOTE: the corpus is always passed as a jit ARGUMENT, never a
+        # closure capture — captured arrays become compile-time constants
+        # baked into the executable (and, on remote-compile setups, into
+        # the compile request itself: a 1M x 64 bf16 corpus adds 128 MB
+        # per compile; >= 4M items exceeds the compiler's request limit).
         if method == "scan":
             from xfmr_rec_tpu.ops.topk_pallas import scan_topk_excluding
 
             corpus_padded, tile, true_n, interpret = self._scan_setup()
+            self._corpus_arg = corpus_padded
             self._search_fn = jax.jit(
-                lambda q, excl, k: scan_topk_excluding(
+                lambda q, excl, k, c: scan_topk_excluding(
                     q,
-                    corpus_padded,
+                    c,
                     k,
                     exclude_positions=excl,
                     true_num_items=true_n,
@@ -169,10 +175,11 @@ class RetrievalIndex:
                 static_argnames=("k",),
             )
         else:
+            self._corpus_arg = self.corpus
             self._search_fn = jax.jit(
-                lambda q, excl, k: exact_topk(
+                lambda q, excl, k, c: exact_topk(
                     q,
-                    self.corpus,
+                    c,
                     k,
                     exclude_positions=excl,
                     chunk_size=self.chunk_size,
@@ -255,10 +262,12 @@ class RetrievalIndex:
             queries = queries[None, :]
         if not hasattr(self, "_certified_fn"):
             corpus_padded, tile, true_n, interpret = self._scan_setup()
+            self._certified_corpus = corpus_padded
+            # corpus as jit argument, not closure constant (see __init__)
             self._certified_fn = jax.jit(
-                lambda q, k, shuffle: certified_topk_parts(
+                lambda q, k, shuffle, c: certified_topk_parts(
                     q,
-                    corpus_padded,
+                    c,
                     k,
                     corpus_tile=tile,
                     true_num_items=true_n,
@@ -268,8 +277,8 @@ class RetrievalIndex:
                 static_argnames=("k", "shuffle"),
             )
             self._dense_fn = jax.jit(
-                lambda q, k: exact_topk(
-                    q, self.corpus, k, chunk_size=self.chunk_size
+                lambda q, k, c: exact_topk(
+                    q, c, k, chunk_size=self.chunk_size
                 ),
                 static_argnames=("k",),
             )
@@ -280,7 +289,9 @@ class RetrievalIndex:
         width = max(8, 1 << (true_batch - 1).bit_length())
         if width != true_batch:
             queries = jnp.pad(queries, ((0, width - true_batch), (0, 0)))
-        vals1, pos1, dmax1 = self._certified_fn(queries, top_k, 0)
+        vals1, pos1, dmax1 = self._certified_fn(
+            queries, top_k, 0, self._certified_corpus
+        )
         # np.array copies: device buffers are read-only views and the
         # retry/fallback stages write into these
         scores = np.array(vals1)
@@ -307,7 +318,10 @@ class RetrievalIndex:
             retry = np.zeros((width, self.dim), dtype=np.float32)
             retry[: bad.size] = queries_np[bad]
             v, p, d = self._certified_fn(
-                jnp.asarray(retry, dtype=self.corpus.dtype), top_k, shuffle
+                jnp.asarray(retry, dtype=self.corpus.dtype),
+                top_k,
+                shuffle,
+                self._certified_corpus,
             )
             v = np.asarray(v)[: bad.size]
             p = np.asarray(p)[: bad.size]
@@ -336,7 +350,9 @@ class RetrievalIndex:
             retry = np.zeros((width, self.dim), dtype=np.float32)
             retry[: bad.size] = queries_np[bad]
             s3, p3 = self._dense_fn(
-                jnp.asarray(retry, dtype=self.corpus.dtype), top_k
+                jnp.asarray(retry, dtype=self.corpus.dtype),
+                top_k,
+                self.corpus,
             )
             scores[bad] = np.asarray(s3)[: bad.size]
             positions[bad] = np.asarray(p3)[: bad.size]
@@ -365,7 +381,7 @@ class RetrievalIndex:
                     (queries.shape[0], 1), len(self.ids), dtype=jnp.int32
                 )
         scores, positions = self._search_fn(
-            queries, exclude_positions, top_k
+            queries, exclude_positions, top_k, self._corpus_arg
         )
         item_ids = np.asarray(self._ids_dev)[np.asarray(positions)]
         return np.asarray(scores), item_ids
