@@ -13,6 +13,40 @@ def make_corpus(n=64, d=8, seed=0):
     return corpus
 
 
+class TestTextSearch:
+    def _index(self):
+        corpus = make_corpus(4, 8)
+        meta = [
+            {"movie_text": "Toy Story animation children comedy"},
+            {"movie_text": "Heat crime thriller"},
+            {"movie_text": "Toy soldiers war drama"},
+            {"movie_text": "Story of a crime family drama"},
+        ]
+        return RetrievalIndex(
+            corpus, np.arange(1, 5), meta, id_col="movie_id", dtype="float32"
+        )
+
+    def test_bm25_ranks_full_match_first(self):
+        idx = self._index()
+        out = idx.search_text("toy story", top_k=4)
+        assert out[0]["movie_id"] == 1  # matches both terms
+        got_ids = [r["movie_id"] for r in out]
+        assert set(got_ids) >= {1, 3, 4}  # partial matches follow
+        assert all(
+            a["score"] >= b["score"] for a, b in zip(out, out[1:])
+        )
+
+    def test_no_match_returns_empty(self):
+        idx = self._index()
+        assert idx.search_text("zebra") == []
+
+    def test_rare_term_beats_common(self):
+        idx = self._index()
+        out = idx.search_text("thriller drama", top_k=4)
+        # 'thriller' appears once in the corpus -> higher idf than 'drama'
+        assert out[0]["movie_id"] == 2
+
+
 class TestExactTopK:
     def test_matches_numpy_argsort(self):
         corpus = make_corpus()

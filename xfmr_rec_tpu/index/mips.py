@@ -194,10 +194,10 @@ class RetrievalIndex:
         ONE padded corpus copy in device memory.
         """
         if not hasattr(self, "_scan_state"):
-            from xfmr_rec_tpu.ops.topk_pallas import DEFAULT_CORPUS_TILE
+            from xfmr_rec_tpu.ops.topk_pallas import pick_corpus_tile
 
             true_n = self.corpus.shape[0]
-            tile = min(DEFAULT_CORPUS_TILE, 1 << (true_n - 1).bit_length())
+            tile = pick_corpus_tile(true_n, self.corpus.shape[1])
             pad = -true_n % tile
             corpus_padded = (
                 jnp.pad(self.corpus, ((0, pad), (0, 0)))
@@ -385,6 +385,70 @@ class RetrievalIndex:
         )
         item_ids = np.asarray(self._ids_dev)[np.asarray(positions)]
         return np.asarray(scores), item_ids
+
+    def search_text(
+        self, query: str, *, top_k: int = 10, text_col: str | None = None
+    ) -> list[dict]:
+        """Keyword (BM25) search over item metadata text.
+
+        Capability parity with the reference's full-text indexes
+        (data/lightning.py:221,298 create LanceDB FTS indexes on the
+        text columns — no reference code path queries them, but the
+        capability is part of its index surface). Host-side BM25 with a
+        lazily-built inverted index; corpus text fits host memory by
+        construction (it is the metadata store).
+
+        Returns the top matching metadata rows (with id and score).
+        """
+        import re
+
+        if text_col is None:
+            sample = next((m for m in self.metadata if m), {})
+            text_col = next(
+                (k for k, v in sample.items() if isinstance(v, str)), None
+            )
+            if text_col is None:
+                return []
+        tokenize = re.compile(r"[a-z0-9]+").findall
+        if getattr(self, "_fts_col", None) != text_col:
+            docs = [
+                tokenize(str(m.get(text_col, "")).lower())
+                for m in self.metadata
+            ]
+            postings: dict[str, dict[int, int]] = {}
+            for row, toks in enumerate(docs):
+                for tok in toks:
+                    postings.setdefault(tok, {})[row] = (
+                        postings.get(tok, {}).get(row, 0) + 1
+                    )
+            self._fts = (
+                postings,
+                np.array([len(t) or 1 for t in docs], dtype=np.float32),
+            )
+            self._fts_col = text_col
+        postings, doc_lens = self._fts
+        n_docs = len(doc_lens)
+        avg_len = float(doc_lens.mean())
+        k1, b = 1.2, 0.75
+        scores = np.zeros(n_docs, dtype=np.float32)
+        for tok in tokenize(query.lower()):
+            plist = postings.get(tok)
+            if not plist:
+                continue
+            idf = np.log(1.0 + (n_docs - len(plist) + 0.5) / (len(plist) + 0.5))
+            for row, tf in plist.items():
+                denom = tf + k1 * (1 - b + b * doc_lens[row] / avg_len)
+                scores[row] += idf * tf * (k1 + 1) / denom
+        order = np.argsort(-scores, kind="stable")[:top_k]
+        out = []
+        for row in order:
+            if scores[row] <= 0:
+                break
+            entry = dict(self.metadata[row])
+            entry[self.id_col] = int(self.ids[row])
+            entry["score"] = float(scores[row])
+            out.append(entry)
+        return out
 
     def get_id(self, id_val: int | None) -> dict:
         """Metadata row for one id ({} on miss) — reference get_id parity."""

@@ -56,6 +56,19 @@ DEFAULT_BATCH_TILE = 256
 DEFAULT_CORPUS_TILE = 2048
 
 
+def pick_corpus_tile(num_items: int, dim: int) -> int:
+    """Largest healthy corpus tile for the scan kernels at this dim.
+
+    Measured on v5e (slots=2 + certificate, bt=256, 1M items): ct=2048
+    sustains 148k qps at dim 64 but collapses to ~0.2k qps at dim 384
+    (VMEM thrash once the wider corpus tiles + matmul staging crowd the
+    running buffers); ct=1024 runs dim 384 at 74k qps. Halve the tile
+    beyond dim 128.
+    """
+    tile = DEFAULT_CORPUS_TILE if dim <= 128 else DEFAULT_CORPUS_TILE // 2
+    return min(tile, 1 << (max(num_items, 2) - 1).bit_length())
+
+
 def _lane_mapped_scores(scores, corpus_step, corpus_tile, lane_shuffle):
     """Map tile scores onto lanes; returns (scores, positions).
 

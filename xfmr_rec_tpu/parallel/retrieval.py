@@ -122,9 +122,7 @@ def sharded_certified_topk(
         raise ValueError(msg)
     batch = queries.shape[0]
     bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, batch)
-    ct = corpus_tile or min(
-        tk.DEFAULT_CORPUS_TILE, 1 << (local_n - 1).bit_length()
-    )
+    ct = corpus_tile or tk.pick_corpus_tile(local_n, corpus.shape[1])
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     local_k = min(k, local_n)
