@@ -13,6 +13,74 @@ def make_corpus(n=64, d=8, seed=0):
     return corpus
 
 
+class TestInt8Index:
+    def _data(self, n=300, d=16, seed=21):
+        rng = np.random.default_rng(seed)
+        corpus = rng.normal(size=(n, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+        queries = rng.normal(size=(8, d)).astype(np.float32)
+        return corpus, queries
+
+    def test_int8_matches_f32_ranking(self):
+        corpus, queries = self._data()
+        ids = np.arange(1, 301)
+        f32 = RetrievalIndex(corpus, ids, dtype="float32", method="scan")
+        i8 = RetrievalIndex(corpus, ids, dtype="int8")
+        assert i8.method == "scan"
+        assert i8.corpus.dtype == np.int8
+        _, ids_f = f32.search(queries, top_k=10)
+        _, ids_q = i8.search(queries, top_k=10)
+        # quantization error ~<1%: near-total top-k overlap
+        overlap = np.mean(
+            [
+                len(set(a.tolist()) & set(b.tolist())) / 10
+                for a, b in zip(ids_f, ids_q)
+            ]
+        )
+        assert overlap >= 0.9
+
+    def test_int8_scores_match_dequantized_oracle(self):
+        corpus, queries = self._data()
+        i8 = RetrievalIndex(corpus, np.arange(1, 301), dtype="int8")
+        scores, got_ids = i8.search(queries[:2], top_k=5)
+        dequant = (
+            np.asarray(i8.corpus, dtype=np.float32)
+            * np.asarray(i8._scales)[0][:, None]
+        )
+        ref = queries[:2].astype(np.float32) @ dequant.T
+        for b in range(2):
+            want = np.sort(ref[b])[::-1][:5]
+            np.testing.assert_allclose(scores[b], want, rtol=2e-2)
+
+    def test_int8_certified_exact_over_quantized(self):
+        corpus, queries = self._data()
+        i8 = RetrievalIndex(corpus, np.arange(1, 301), dtype="int8")
+        scores, ids_q = i8.search_certified(queries, top_k=7)
+        dequant = (
+            np.asarray(i8.corpus, dtype=np.float32)
+            * np.asarray(i8._scales)[0][:, None]
+        )
+        ref = queries @ dequant.T
+        for b in range(8):
+            want = np.sort(ref[b])[::-1][:7]
+            np.testing.assert_allclose(scores[b], want, rtol=2e-2)
+
+    def test_int8_save_load_roundtrip(self, tmp_path):
+        corpus, queries = self._data()
+        idx = RetrievalIndex(corpus, np.arange(1, 301), dtype="int8")
+        idx.save(tmp_path / "i8")
+        loaded = RetrievalIndex.load(tmp_path / "i8")
+        assert loaded.corpus.dtype == np.int8
+        # requantizing the dequantized artifact is lossless
+        np.testing.assert_array_equal(
+            np.asarray(idx.corpus), np.asarray(loaded.corpus)
+        )
+        np.testing.assert_array_equal(
+            idx.search(queries, top_k=5)[1],
+            loaded.search(queries, top_k=5)[1],
+        )
+
+
 class TestTextSearch:
     def _index(self):
         corpus = make_corpus(4, 8)

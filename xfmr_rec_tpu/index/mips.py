@@ -148,9 +148,30 @@ class RetrievalIndex:
         self.metadata = metadata or [{} for _ in self.ids]
         self._id_to_pos = {int(i): p for p, i in enumerate(self.ids)}
         self.chunk_size = chunk_size
+        self.dtype = dtype
+        if dtype == "int8":
+            # per-item symmetric quantization: c_i ~= scale_i * q_i.
+            # Halves HBM per item vs bf16 (2x catalog capacity per chip);
+            # the kernel dequantizes tiles in VMEM and multiplies scores
+            # by scale_i. Search is exact over the QUANTIZED corpus —
+            # certificates still hold; quantization error vs the f32
+            # embeddings is ~sqrt(D)*max|c|/254 (<1% for unit-norm rows).
+            emb = np.asarray(embeddings, dtype=np.float32)
+            scale = np.abs(emb).max(axis=1) / 127.0
+            scale = np.maximum(scale, 1e-12)
+            quant = np.clip(
+                np.round(emb / scale[:, None]), -127, 127
+            ).astype(np.int8)
+            self.corpus = jnp.asarray(quant)
+            self._scales = jnp.asarray(scale.reshape(1, -1))
+            self._query_dtype = jnp.bfloat16
+            method = "scan"  # int8 rides the Pallas dequantizing kernel
+        else:
+            # bf16 corpus in device memory: halves HBM traffic vs f32
+            self.corpus = jnp.asarray(embeddings, dtype=dtype)
+            self._scales = None
+            self._query_dtype = self.corpus.dtype
         self.method = method
-        # bf16 corpus in device memory: halves HBM traffic for scoring
-        self.corpus = jnp.asarray(embeddings, dtype=dtype)
         self._ids_dev = jnp.asarray(self.ids.astype(np.int32))
         # NOTE: the corpus is always passed as a jit ARGUMENT, never a
         # closure capture — captured arrays become compile-time constants
@@ -160,16 +181,19 @@ class RetrievalIndex:
         if method == "scan":
             from xfmr_rec_tpu.ops.topk_pallas import scan_topk_excluding
 
-            corpus_padded, tile, true_n, interpret = self._scan_setup()
+            corpus_padded, scales_padded, tile, true_n, interpret = (
+                self._scan_setup()
+            )
             self._corpus_arg = corpus_padded
             self._search_fn = jax.jit(
-                lambda q, excl, k, c: scan_topk_excluding(
+                lambda q, excl, k, c, s: scan_topk_excluding(
                     q,
                     c,
                     k,
                     exclude_positions=excl,
                     true_num_items=true_n,
                     corpus_tile=tile,
+                    scales=s,
                     interpret=interpret,
                 ),
                 static_argnames=("k",),
@@ -177,7 +201,7 @@ class RetrievalIndex:
         else:
             self._corpus_arg = self.corpus
             self._search_fn = jax.jit(
-                lambda q, excl, k, c: exact_topk(
+                lambda q, excl, k, c, s: exact_topk(
                     q,
                     c,
                     k,
@@ -188,7 +212,7 @@ class RetrievalIndex:
             )
 
     def _scan_setup(self):
-        """Padded corpus + tile geometry for the Pallas scan paths.
+        """Padded corpus (+ scales) + tile geometry for the scan paths.
 
         Cached so the scan search fn and the certified search fn share
         ONE padded corpus copy in device memory.
@@ -204,9 +228,14 @@ class RetrievalIndex:
                 if pad
                 else self.corpus
             )
+            scales_padded = self._scales
+            if scales_padded is not None and pad:
+                scales_padded = jnp.pad(scales_padded, ((0, 0), (0, pad)))
             # Pallas compiles on TPU; CPU (tests) runs the interpreter
             interpret = jax.default_backend() == "cpu"
-            self._scan_state = (corpus_padded, tile, true_n, interpret)
+            self._scan_state = (
+                corpus_padded, scales_padded, tile, true_n, interpret
+            )
         return self._scan_state
 
     def __len__(self) -> int:
@@ -257,31 +286,42 @@ class RetrievalIndex:
 
         from xfmr_rec_tpu.ops.topk_pallas import certified_topk_parts
 
-        queries = jnp.asarray(queries, dtype=self.corpus.dtype)
+        queries = jnp.asarray(queries, dtype=self._query_dtype)
         if queries.ndim == 1:
             queries = queries[None, :]
         if not hasattr(self, "_certified_fn"):
-            corpus_padded, tile, true_n, interpret = self._scan_setup()
+            corpus_padded, scales_padded, tile, true_n, interpret = (
+                self._scan_setup()
+            )
             self._certified_corpus = corpus_padded
+            self._certified_scales = scales_padded
             # corpus as jit argument, not closure constant (see __init__)
             self._certified_fn = jax.jit(
-                lambda q, k, shuffle, c: certified_topk_parts(
+                lambda q, k, shuffle, c, s: certified_topk_parts(
                     q,
                     c,
                     k,
                     corpus_tile=tile,
                     true_num_items=true_n,
                     lane_shuffle=shuffle,
+                    scales=s,
                     interpret=interpret,
                 ),
                 static_argnames=("k", "shuffle"),
             )
-            self._dense_fn = jax.jit(
-                lambda q, k, c: exact_topk(
-                    q, c, k, chunk_size=self.chunk_size
-                ),
-                static_argnames=("k",),
-            )
+
+            def dense_exact(q, k, c, s):
+                if c.dtype == jnp.int8:
+                    # dequantized dense scoring for the int8 fallback
+                    scores = jnp.dot(
+                        q,
+                        c.T.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    ) * s[0][None, :]
+                    return jax.lax.top_k(scores, k)
+                return exact_topk(q, c, k, chunk_size=self.chunk_size)
+
+            self._dense_fn = jax.jit(dense_exact, static_argnames=("k",))
         # pad the batch to a lane_max_scan-tileable width (pow2, >= 8,
         # stable shapes for the jit cache); padding rows are dropped at
         # the end and zero queries certify trivially
@@ -290,7 +330,7 @@ class RetrievalIndex:
         if width != true_batch:
             queries = jnp.pad(queries, ((0, width - true_batch), (0, 0)))
         vals1, pos1, dmax1 = self._certified_fn(
-            queries, top_k, 0, self._certified_corpus
+            queries, top_k, 0, self._certified_corpus, self._certified_scales
         )
         # np.array copies: device buffers are read-only views and the
         # retry/fallback stages write into these
@@ -318,10 +358,11 @@ class RetrievalIndex:
             retry = np.zeros((width, self.dim), dtype=np.float32)
             retry[: bad.size] = queries_np[bad]
             v, p, d = self._certified_fn(
-                jnp.asarray(retry, dtype=self.corpus.dtype),
+                jnp.asarray(retry, dtype=self._query_dtype),
                 top_k,
                 shuffle,
                 self._certified_corpus,
+                self._certified_scales,
             )
             v = np.asarray(v)[: bad.size]
             p = np.asarray(p)[: bad.size]
@@ -350,9 +391,10 @@ class RetrievalIndex:
             retry = np.zeros((width, self.dim), dtype=np.float32)
             retry[: bad.size] = queries_np[bad]
             s3, p3 = self._dense_fn(
-                jnp.asarray(retry, dtype=self.corpus.dtype),
+                jnp.asarray(retry, dtype=self._query_dtype),
                 top_k,
                 self.corpus,
+                self._scales,
             )
             scores[bad] = np.asarray(s3)[: bad.size]
             positions[bad] = np.asarray(p3)[: bad.size]
@@ -370,7 +412,7 @@ class RetrievalIndex:
         exclude_positions: np.ndarray | Array | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched search. Returns (scores (B, k), item_ids (B, k))."""
-        queries = jnp.asarray(queries, dtype=self.corpus.dtype)
+        queries = jnp.asarray(queries, dtype=self._query_dtype)
         if queries.ndim == 1:
             queries = queries[None, :]
         if exclude_positions is None:
@@ -381,7 +423,11 @@ class RetrievalIndex:
                     (queries.shape[0], 1), len(self.ids), dtype=jnp.int32
                 )
         scores, positions = self._search_fn(
-            queries, exclude_positions, top_k, self._corpus_arg
+            queries,
+            exclude_positions,
+            top_k,
+            self._corpus_arg,
+            self._scan_state[1] if self.method == "scan" else None,
         )
         item_ids = np.asarray(self._ids_dev)[np.asarray(positions)]
         return np.asarray(scores), item_ids
@@ -465,9 +511,17 @@ class RetrievalIndex:
     def save(self, path: str | pathlib.Path) -> None:
         path = pathlib.Path(path)
         path.mkdir(parents=True, exist_ok=True)
+        if self._scales is not None:
+            # dequantize: re-quantizing these exact values reproduces the
+            # same int8 corpus (round is idempotent at the grid points)
+            embeddings = np.asarray(
+                self.corpus, dtype=np.float32
+            ) * np.asarray(self._scales)[0][:, None]
+        else:
+            embeddings = np.asarray(self.corpus, dtype=np.float32)
         np.savez(
             path / "corpus.npz",
-            embeddings=np.asarray(self.corpus, dtype=np.float32),
+            embeddings=embeddings,
             ids=self.ids,
         )
         meta = {

@@ -97,18 +97,43 @@ def _lane_mapped_scores(scores, corpus_step, corpus_tile, lane_shuffle):
     return scores, positions
 
 
+def _tile_scores(q_ref, corpus_ref, scales_ref):
+    """(bt, ct) score tile; int8 corpora dequantize on the fly.
+
+    int8 mode: the corpus tile is stored as int8 with a per-item scale
+    (score = scale_i * dot(q, q_i)); the cast to bf16 happens in VMEM so
+    HBM sees half the bytes of a bf16 corpus.
+    """
+    corpus = corpus_ref[:]
+    if corpus.dtype == jnp.int8:
+        corpus = corpus.astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        corpus,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (batch_tile, corpus_tile)
+    if scales_ref is not None:
+        scores = scores * scales_ref[:]  # (1, ct) broadcast
+    return scores
+
+
 def _scan_kernel(
-    q_ref,
-    corpus_ref,
-    vals_ref,
-    pos_ref,
-    *rest,
+    *refs,
     corpus_tile,
     true_num_items,
     lane_shuffle=0,
+    has_scales=False,
+    track_discards=False,
 ):
+    if has_scales:
+        q_ref, corpus_ref, scales_ref, *outs = refs
+    else:
+        q_ref, corpus_ref, *outs = refs
+        scales_ref = None
+    vals_ref, pos_ref, *rest = outs
+    dmax_ref = rest[0] if track_discards else None
     corpus_step = pl.program_id(1)
-    dmax_ref = rest[0] if rest else None
 
     @pl.when(corpus_step == 0)
     def _init():
@@ -117,12 +142,7 @@ def _scan_kernel(
         if dmax_ref is not None:
             dmax_ref[:] = jnp.full_like(dmax_ref, NEG_INF)
 
-    scores = jax.lax.dot_general(
-        q_ref[:],
-        corpus_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (batch_tile, corpus_tile)
+    scores = _tile_scores(q_ref, corpus_ref, scales_ref)
     scores, positions = _lane_mapped_scores(
         scores, corpus_step, corpus_tile, lane_shuffle
     )
@@ -142,22 +162,24 @@ def _scan_kernel(
 
 
 def _scan2_kernel(
-    q_ref,
-    corpus_ref,
-    vals1_ref,
-    pos1_ref,
-    vals2_ref,
-    pos2_ref,
-    *rest,
+    *refs,
     corpus_tile,
     true_num_items,
     lane_shuffle=0,
+    has_scales=False,
+    track_discards=False,
 ):
     """Top-2-per-lane variant: a lane loses a true top-k item only when
     THREE of them collide in it — certification rate ~96% at the default
     L=2048 (k=100), vs ~10% for one slot."""
+    if has_scales:
+        q_ref, corpus_ref, scales_ref, *outs = refs
+    else:
+        q_ref, corpus_ref, *outs = refs
+        scales_ref = None
+    vals1_ref, pos1_ref, vals2_ref, pos2_ref, *rest = outs
+    dmax_ref = rest[0] if track_discards else None
     corpus_step = pl.program_id(1)
-    dmax_ref = rest[0] if rest else None
 
     @pl.when(corpus_step == 0)
     def _init():
@@ -168,12 +190,7 @@ def _scan2_kernel(
         if dmax_ref is not None:
             dmax_ref[:] = jnp.full_like(dmax_ref, NEG_INF)
 
-    scores = jax.lax.dot_general(
-        q_ref[:],
-        corpus_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    scores = _tile_scores(q_ref, corpus_ref, scales_ref)
     scores, positions = _lane_mapped_scores(
         scores, corpus_step, corpus_tile, lane_shuffle
     )
@@ -208,6 +225,7 @@ def lane_max_scan(
     track_discards: bool = False,
     true_num_items: int | None = None,
     lane_shuffle: int = 0,
+    scales: Array | None = None,
     interpret: bool = False,
 ) -> tuple[Array, ...]:
     """One fused sweep -> per-lane top-`slots` values/positions.
@@ -218,6 +236,11 @@ def lane_max_scan(
     exactness certificate (see ``certified_topk``). ``true_num_items``
     masks zero-padding rows of the corpus to -inf inside the kernel so
     both results and certificates see only the logical corpus.
+
+    ``scales``: (N,) or (1, N) per-item f32 multipliers applied to the
+    score tile, for int8-quantized corpora (score = scale_i * q . c_i);
+    the int8->bf16 cast happens in VMEM, so an int8 corpus halves HBM
+    read traffic and doubles per-chip catalog capacity.
     """
     batch, dim = queries.shape
     num_items = corpus.shape[0]
@@ -242,6 +265,19 @@ def lane_max_scan(
             (corpus_tile, dim), lambda b, i: (i, 0), memory_space=pltpu.VMEM
         ),
     ]
+    operands = [queries, corpus]
+    if scales is not None:
+        scales = jnp.asarray(scales, dtype=jnp.float32).reshape(1, -1)
+        if scales.shape[1] != num_items:
+            msg = f"scales length {scales.shape[1]} != {num_items=}"
+            raise ValueError(msg)
+        block_in.append(
+            pl.BlockSpec(
+                (1, corpus_tile), lambda b, i: (0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(scales)
     out_block = pl.BlockSpec(
         (batch_tile, corpus_tile), lambda b, i: (b, 0),
         memory_space=pltpu.VMEM,
@@ -264,13 +300,15 @@ def lane_max_scan(
     )
     if true_num_items is not None and true_num_items >= num_items:
         true_num_items = None
+    kernel_kwargs = dict(
+        corpus_tile=corpus_tile,
+        true_num_items=true_num_items,
+        lane_shuffle=lane_shuffle,
+        has_scales=scales is not None,
+        track_discards=track_discards,
+    )
     if slots == 1:
-        kernel = functools.partial(
-            _scan_kernel,
-            corpus_tile=corpus_tile,
-            true_num_items=true_num_items,
-            lane_shuffle=lane_shuffle,
-        )
+        kernel = functools.partial(_scan_kernel, **kernel_kwargs)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -279,14 +317,9 @@ def lane_max_scan(
             out_shape=[out_shape_f, out_shape_i, *extra_shapes],
             cost_estimate=cost,
             interpret=interpret,
-        )(queries, corpus)
+        )(*operands)
         return tuple(outs)
-    kernel = functools.partial(
-        _scan2_kernel,
-        corpus_tile=corpus_tile,
-        true_num_items=true_num_items,
-        lane_shuffle=lane_shuffle,
-    )
+    kernel = functools.partial(_scan2_kernel, **kernel_kwargs)
     vals1, pos1, vals2, pos2, *extra = pl.pallas_call(
         kernel,
         grid=grid,
@@ -301,7 +334,7 @@ def lane_max_scan(
         ],
         cost_estimate=cost,
         interpret=interpret,
-    )(queries, corpus)
+    )(*operands)
     return (
         jnp.concatenate([vals1, vals2], axis=-1),
         jnp.concatenate([pos1, pos2], axis=-1),
@@ -318,6 +351,7 @@ def scan_topk(
     corpus_tile: int = DEFAULT_CORPUS_TILE,
     slots: int = 1,
     true_num_items: int | None = None,
+    scales: Array | None = None,
     interpret: bool = False,
 ) -> tuple[Array, Array]:
     """Fused-scan top-k (near-exact; see module docstring for recall)."""
@@ -328,6 +362,7 @@ def scan_topk(
         corpus_tile=corpus_tile,
         slots=slots,
         true_num_items=true_num_items,
+        scales=scales,
         interpret=interpret,
     )
     top_vals, top_lanes = jax.lax.top_k(vals, k)
@@ -345,6 +380,7 @@ def scan_topk_excluding(
     batch_tile: int = DEFAULT_BATCH_TILE,
     corpus_tile: int = DEFAULT_CORPUS_TILE,
     slots: int = 2,
+    scales: Array | None = None,
     interpret: bool = False,
 ) -> tuple[Array, Array]:
     """Fused-scan top-k with per-row exclusions and query padding.
@@ -380,6 +416,7 @@ def scan_topk_excluding(
         corpus_tile=corpus_tile,
         slots=slots,
         true_num_items=true_num_items,
+        scales=scales,
         interpret=interpret,
     )
     if exclude_positions is not None:
@@ -562,6 +599,7 @@ def certified_topk_parts(
     slots: int = 2,
     true_num_items: int | None = None,
     lane_shuffle: int = 0,
+    scales: Array | None = None,
     interpret: bool = False,
 ) -> tuple[Array, Array, Array]:
     """Discard-certified scan returning raw parts for multi-pass merges.
@@ -582,6 +620,7 @@ def certified_topk_parts(
         track_discards=True,
         true_num_items=true_num_items,
         lane_shuffle=lane_shuffle,
+        scales=scales,
         interpret=interpret,
     )
     top_vals, top_lanes = jax.lax.top_k(vals, k)
