@@ -65,6 +65,59 @@ class TestInt8Index:
             want = np.sort(ref[b])[::-1][:7]
             np.testing.assert_allclose(scores[b], want, rtol=2e-2)
 
+    def test_int8_exclusions(self):
+        corpus, queries = self._data()
+        i8 = RetrievalIndex(corpus, np.arange(1, 301), dtype="int8")
+        _, base_ids = i8.search(queries[:4], top_k=5)
+        exclude = [row[:2].tolist() for row in base_ids]
+        _, ids2 = i8.search(queries[:4], top_k=5, exclude_ids=exclude)
+        for b in range(4):
+            assert not set(exclude[b]) & set(ids2[b].tolist())
+
+    def test_int8_retry_path_certifies_collisions(self):
+        """Plant identity-lane collisions so the shuffled retry pass runs
+        with scales; results must match the dequantized oracle."""
+        rng = np.random.default_rng(23)
+        corpus = rng.normal(size=(256, 8)).astype(np.float32) * 0.01
+        queries = rng.normal(size=(8, 8)).astype(np.float32)
+        for i in range(8):
+            corpus[i] = queries[i] * 10
+            corpus[i + 128] = queries[i] * 9  # same lane at ct=128
+        i8 = RetrievalIndex(corpus, np.arange(1, 257), dtype="int8")
+        scores, ids = i8.search_certified(queries, top_k=5)
+        dequant = (
+            np.asarray(i8.corpus, dtype=np.float32)
+            * np.asarray(i8._scales)[0][:, None]
+        )
+        ref = queries @ dequant.T
+        for b in range(8):
+            want = np.sort(ref[b])[::-1][:5]
+            np.testing.assert_allclose(scores[b], want, rtol=2e-2)
+
+    def test_int8_dense_fallback_branch(self):
+        """Exercise the int8 dequantizing dense path directly (the live
+        escalation almost never reaches it)."""
+        corpus, queries = self._data()
+        i8 = RetrievalIndex(corpus, np.arange(1, 301), dtype="int8")
+        i8.search_certified(queries[:2], top_k=3)  # builds _dense_fn
+        import jax.numpy as jnp
+
+        s, p = i8._dense_fn(
+            jnp.asarray(queries[:2], dtype=i8._query_dtype),
+            3,
+            i8.corpus,
+            i8._scales,
+        )
+        dequant = (
+            np.asarray(i8.corpus, dtype=np.float32)
+            * np.asarray(i8._scales)[0][:, None]
+        )
+        ref = queries[:2].astype(np.float32) @ dequant.T
+        for b in range(2):
+            np.testing.assert_allclose(
+                np.asarray(s[b]), np.sort(ref[b])[::-1][:3], rtol=2e-2
+            )
+
     def test_int8_save_load_roundtrip(self, tmp_path):
         corpus, queries = self._data()
         idx = RetrievalIndex(corpus, np.arange(1, 301), dtype="int8")

@@ -252,6 +252,40 @@ class TestLaneShuffle:
             assert set(np.asarray(pos[b]).tolist()) == want
 
 
+class TestExclusionOverflow:
+    def test_raises_when_exclusions_exceed_pool(self):
+        """Exclusion lists wider than the candidate pool must fail loud,
+        not silently return excluded items at -inf."""
+        from xfmr_rec_tpu.ops.topk_pallas import scan_topk_excluding
+
+        rng = np.random.default_rng(17)
+        corpus = rng.normal(size=(1024, 8)).astype(np.float32)
+        queries = rng.normal(size=(8, 8)).astype(np.float32)
+        exclude = rng.integers(0, 1024, (8, 250)).astype(np.int32)
+        with pytest.raises(ValueError, match="candidate pool"):
+            scan_topk_excluding(
+                queries, corpus, 10,
+                exclude_positions=exclude,
+                batch_tile=8, corpus_tile=128, slots=2, interpret=True,
+            )
+
+    def test_small_corpus_wide_exclusions_ok(self):
+        """N <= pool -> every item is in some lane slot, so coverage is
+        exhaustive and wide exclusions are fine."""
+        from xfmr_rec_tpu.ops.topk_pallas import scan_topk_excluding
+
+        rng = np.random.default_rng(18)
+        corpus = rng.normal(size=(128, 8)).astype(np.float32)
+        queries = rng.normal(size=(4, 8)).astype(np.float32)
+        exclude = np.tile(np.arange(120, dtype=np.int32), (4, 1))
+        vals, pos = scan_topk_excluding(
+            queries, corpus, 5,
+            exclude_positions=exclude,
+            batch_tile=4, corpus_tile=128, slots=2, interpret=True,
+        )
+        assert (np.asarray(pos) >= 120).all()  # only unexcluded remain
+
+
 class TestScanPaddingSafety:
     def test_padding_rows_never_leak_into_results(self):
         """Zero-padding corpus rows score 0, which beats all-negative real

@@ -185,6 +185,7 @@ class RetrievalIndex:
                 self._scan_setup()
             )
             self._corpus_arg = corpus_padded
+            self._scales_arg = scales_padded
             self._search_fn = jax.jit(
                 lambda q, excl, k, c, s: scan_topk_excluding(
                     q,
@@ -200,6 +201,7 @@ class RetrievalIndex:
             )
         else:
             self._corpus_arg = self.corpus
+            self._scales_arg = None
             self._search_fn = jax.jit(
                 lambda q, excl, k, c, s: exact_topk(
                     q,
@@ -289,12 +291,10 @@ class RetrievalIndex:
         queries = jnp.asarray(queries, dtype=self._query_dtype)
         if queries.ndim == 1:
             queries = queries[None, :]
+        corpus_padded, scales_padded, tile, true_n, interpret = (
+            self._scan_setup()
+        )
         if not hasattr(self, "_certified_fn"):
-            corpus_padded, scales_padded, tile, true_n, interpret = (
-                self._scan_setup()
-            )
-            self._certified_corpus = corpus_padded
-            self._certified_scales = scales_padded
             # corpus as jit argument, not closure constant (see __init__)
             self._certified_fn = jax.jit(
                 lambda q, k, shuffle, c, s: certified_topk_parts(
@@ -330,7 +330,7 @@ class RetrievalIndex:
         if width != true_batch:
             queries = jnp.pad(queries, ((0, width - true_batch), (0, 0)))
         vals1, pos1, dmax1 = self._certified_fn(
-            queries, top_k, 0, self._certified_corpus, self._certified_scales
+            queries, top_k, 0, corpus_padded, scales_padded
         )
         # np.array copies: device buffers are read-only views and the
         # retry/fallback stages write into these
@@ -361,8 +361,8 @@ class RetrievalIndex:
                 jnp.asarray(retry, dtype=self._query_dtype),
                 top_k,
                 shuffle,
-                self._certified_corpus,
-                self._certified_scales,
+                corpus_padded,
+                scales_padded,
             )
             v = np.asarray(v)[: bad.size]
             p = np.asarray(p)[: bad.size]
@@ -427,7 +427,7 @@ class RetrievalIndex:
             exclude_positions,
             top_k,
             self._corpus_arg,
-            self._scan_state[1] if self.method == "scan" else None,
+            self._scales_arg,
         )
         item_ids = np.asarray(self._ids_dev)[np.asarray(positions)]
         return np.asarray(scores), item_ids
@@ -464,9 +464,8 @@ class RetrievalIndex:
             postings: dict[str, dict[int, int]] = {}
             for row, toks in enumerate(docs):
                 for tok in toks:
-                    postings.setdefault(tok, {})[row] = (
-                        postings.get(tok, {}).get(row, 0) + 1
-                    )
+                    bucket = postings.setdefault(tok, {})
+                    bucket[row] = bucket.get(row, 0) + 1
             self._fts = (
                 postings,
                 np.array([len(t) or 1 for t in docs], dtype=np.float32),
@@ -526,7 +525,7 @@ class RetrievalIndex:
         )
         meta = {
             "id_col": self.id_col,
-            "dtype": str(self.corpus.dtype),
+            "dtype": self.dtype,
             "chunk_size": self.chunk_size,
             "method": self.method,
             "metadata": self.metadata,

@@ -60,12 +60,17 @@ def pick_corpus_tile(num_items: int, dim: int) -> int:
     """Largest healthy corpus tile for the scan kernels at this dim.
 
     Measured on v5e (slots=2 + certificate, bt=256, 1M items): ct=2048
-    sustains 148k qps at dim 64 but collapses to ~0.2k qps at dim 384
-    (VMEM thrash once the wider corpus tiles + matmul staging crowd the
-    running buffers); ct=1024 runs dim 384 at 74k qps. Halve the tile
-    beyond dim 128.
+    sustains 148k qps at dim 64 (ct*dim = 128k elements) but collapses
+    ~300x at dim 384 with the same tile (ct*dim = 768k — VMEM thrash
+    once the wider corpus tiles + matmul staging crowd the running
+    buffers), while ct=1024 (ct*dim = 384k) runs dim 384 at 74k qps.
+    Budget rule from those points: keep ct*dim <= ~400k elements, capped
+    at the dim-64-tuned default and floored at 256 lanes.
     """
-    tile = DEFAULT_CORPUS_TILE if dim <= 128 else DEFAULT_CORPUS_TILE // 2
+    budget = 400_000
+    tile = DEFAULT_CORPUS_TILE
+    while tile > 256 and tile * dim > budget:
+        tile //= 2
     return min(tile, 1 << (max(num_items, 2) - 1).bit_length())
 
 
@@ -403,7 +408,21 @@ def scan_topk_excluding(
                 exclude_positions, ((0, pad_rows), (0, 0))
             )
     slack = 0 if exclude_positions is None else exclude_positions.shape[1]
-    fetch = min(k + slack, slots * min(corpus_tile, corpus.shape[0]))
+    pool = slots * min(corpus_tile, corpus.shape[0])
+    # when N <= pool every item provably lands in some lane slot (each
+    # lane sees at most `slots` tiles' worth of items), so coverage is
+    # exhaustive regardless of slack; otherwise an exclusion list wider
+    # than the pool's headroom could exhaust the candidates and top_k
+    # would fill the tail with -inf rows whose positions ARE excluded
+    # items — fail loud instead of silently recommending them.
+    if slack and k + slack > pool and corpus.shape[0] > pool:
+        msg = (
+            f"exclusion width {slack} + {k=} exceeds the candidate pool "
+            f"({slots} slots x {min(corpus_tile, corpus.shape[0])} lanes "
+            f"= {pool}); raise corpus_tile/slots or use the dense method"
+        )
+        raise ValueError(msg)
+    fetch = min(k + slack, pool)
     # true_num_items masks IN-KERNEL: padding rows must not reach the
     # lanes at all — zero rows score 0, which outranks negative real
     # scores and would both eat the exclusion slack and leak

@@ -39,6 +39,11 @@ class MetricsLogger:
             import mlflow
 
             mlflow.set_experiment(str(pathlib.Path(log_dir).name))
+            # end any run a previous logger left active (multi-Trainer
+            # processes, e.g. HPO sweeps, would otherwise hit "run
+            # already active" and silently lose every later trial)
+            if mlflow.active_run() is not None:
+                mlflow.end_run()
             self._mlflow_run = mlflow.start_run(run_name=run_name)
             self._mlflow = mlflow
         except ImportError:
