@@ -50,6 +50,10 @@ class TrainConfig(ModelConfig):
     weight_decay: float = 0.01
     top_k: int = TOP_K
     use_logq_correction: bool = False
+    # retrieval index storage: "bfloat16" | "float32" | "int8"
+    # (int8 = per-item quantization, 2x catalog capacity per chip at
+    # bf16 speed — see index/mips.py)
+    index_dtype: str = "bfloat16"
 
 
 class TrainState(train_state.TrainState):

@@ -223,6 +223,7 @@ class Trainer:
             self.data.item_ids,
             metadata,
             id_col="movie_id",
+            dtype=self.config.index_dtype,
             method="auto",
         )
         return self.index
