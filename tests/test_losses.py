@@ -199,6 +199,68 @@ class TestLossParity:
         np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+class TestDirectAU:
+    def test_uniformity_matches_hand_formula(self):
+        from xfmr_rec_tpu.ops.losses import _uniformity
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(6, 4))
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        got = float(_uniformity(x))
+        sq = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+        vals = np.exp(-2.0 * sq[~np.eye(6, dtype=bool)])
+        want = np.log(vals.mean())
+        assert np.isclose(got, want, rtol=1e-5)
+
+    def test_equals_alignment_plus_gamma_uniformity(self):
+        u, c, target, item_idx, pos_idx = make_batch(seed=6)
+        config = LossConfig(num_negatives=4, sigma=1.0, margin=0.7)
+        from xfmr_rec_tpu.ops.losses import _uniformity
+
+        got = float(
+            compute_loss(
+                "DirectAULoss", u, c, target,
+                item_idx=item_idx, pos_idx=pos_idx, config=config,
+            )
+        )
+        align = float(
+            compute_loss(
+                "AlignmentLoss", u, c, target,
+                item_idx=item_idx, pos_idx=pos_idx, config=config,
+            )
+        )
+        uni = 0.5 * (
+            float(_uniformity(u)) + float(_uniformity(c[: u.shape[0]]))
+        )
+        assert np.isclose(got, align + 0.7 * uni, rtol=1e-5)
+
+    def test_uniformity_prefers_spread(self):
+        """Collapsed embeddings must score a higher (worse) uniformity
+        than well-spread ones."""
+        from xfmr_rec_tpu.ops.losses import _uniformity
+
+        collapsed = np.ones((8, 4)) / 2.0
+        rng = np.random.default_rng(7)
+        spread = rng.normal(size=(8, 4))
+        spread /= np.linalg.norm(spread, axis=-1, keepdims=True)
+        assert float(_uniformity(collapsed)) > float(_uniformity(spread))
+
+    def test_gradients_finite(self):
+        import jax
+
+        u, c, target, item_idx, pos_idx = make_batch(seed=8)
+        config = LossConfig(num_negatives=4, sigma=1.0, margin=1.0)
+
+        def fn(ue):
+            return compute_loss(
+                "DirectAULoss", ue, c, target,
+                item_idx=item_idx, pos_idx=pos_idx, config=config,
+            )
+
+        g = jax.grad(fn)(u)
+        assert np.isfinite(np.asarray(g)).all()
+
+
 class TestLossProperties:
     def test_compute_losses_returns_all(self):
         u, c, target, item_idx, pos_idx = make_batch()

@@ -222,12 +222,59 @@ def alignment_contrastive_loss(
     )
 
 
+def _uniformity(embed: Array) -> Array:
+    """log E[exp(-2||x - x'||^2)] over distinct in-batch pairs.
+
+    The uniformity term of Wang & Isola (ICML'20) as used by DirectAU
+    (Wang et al., SIGIR'22). squared_distance returns ||.||^2 / 2, so
+    the -2||x-x'||^2 exponent is -4 * sqdist.
+    """
+    n = embed.shape[0]
+    d = squared_distance(embed, embed)
+    off_diag = ~jnp.eye(n, dtype=bool)
+    logits = jnp.where(off_diag, -4.0 * d, -jnp.inf)
+    return jax.nn.logsumexp(logits) - jnp.log(float(n * (n - 1)))
+
+
+def direct_au_loss(
+    user_embed, item_embed, target, *, item_idx, pos_idx, config, log_q=None
+) -> Array:
+    """DirectAU: alignment + gamma * uniformity (Wang et al., SIGIR'22).
+
+    Promised in the reference README's capability list but not
+    implemented in its snapshot (its AlignmentContrastiveLoss substitutes
+    a contrastive term for uniformity). gamma = config.margin (default
+    1.0, matching the paper's typical range). Uniformity is averaged over
+    the in-batch user and positive-item embeddings; sampled corpus
+    negatives (rows past batch_size of item_embed) are excluded, as the
+    paper defines uniformity over the interaction batch.
+    """
+    batch = user_embed.shape[0]
+    align = alignment_loss(
+        user_embed,
+        item_embed,
+        target,
+        item_idx=item_idx,
+        pos_idx=pos_idx,
+        config=config,
+        log_q=log_q,
+    )
+    if batch < 2:
+        return align
+    uniform = 0.5 * (
+        _uniformity(user_embed) + _uniformity(item_embed[:batch])
+    )
+    return align + config.margin * uniform
+
+
 # Registry — names match the reference concrete classes (losses.py:249-359)
 # so configs written for the reference select the same objective here.
+# DirectAULoss is an extension: README-promised, absent from the snapshot.
 LOSSES = {
     "AlignmentLoss": alignment_loss,
     "ContrastiveLoss": contrastive_loss,
     "AlignmentContrastiveLoss": alignment_contrastive_loss,
+    "DirectAULoss": direct_au_loss,
     "InfomationNoiseContrastiveEstimationLoss": infonce_loss,
     "MutualInformationNeuralEstimationLoss": mine_loss,
     "PairwiseHingeLoss": pairwise_hinge_loss,
