@@ -212,9 +212,9 @@ class TestDirectAU:
         want = np.log(vals.mean())
         assert np.isclose(got, want, rtol=1e-5)
 
-    def test_equals_alignment_plus_gamma_uniformity(self):
+    def test_equals_mean_alignment_plus_gamma_uniformity(self):
         u, c, target, item_idx, pos_idx = make_batch(seed=6)
-        config = LossConfig(num_negatives=4, sigma=1.0, margin=0.7)
+        config = LossConfig(num_negatives=4, sigma=1.0, gamma=0.7)
         from xfmr_rec_tpu.ops.losses import _uniformity
 
         got = float(
@@ -223,16 +223,42 @@ class TestDirectAU:
                 item_idx=item_idx, pos_idx=pos_idx, config=config,
             )
         )
-        align = float(
+        b = u.shape[0]
+        diag = 0.5 * ((u - c[:b]) ** 2).sum(-1)
+        # paper-form alignment: rating-weighted MEAN (a sum would drown
+        # the batch-size-independent uniformity term ~100x)
+        align = float((diag * np.abs(target)).sum() / np.abs(target).sum())
+        uni = 0.5 * (float(_uniformity(u)) + float(_uniformity(c[:b])))
+        assert np.isclose(got, align + 0.7 * uni, rtol=1e-4)
+
+    def test_uniformity_term_not_drowned(self):
+        """gamma * d(uniformity) must matter at default settings: a
+        collapsed batch must score strictly worse than a spread one even
+        with perfect alignment."""
+        rng = np.random.default_rng(9)
+        b, dim = 16, 8
+        point = rng.normal(size=dim)
+        point /= np.linalg.norm(point)
+        collapsed = np.tile(point, (b, 1))
+        spread = rng.normal(size=(b, dim))
+        spread /= np.linalg.norm(spread, axis=-1, keepdims=True)
+        target = np.full(b, 5.0)
+        item_idx = np.arange(1, b + 1)
+        pos_idx = np.zeros((b, 2), dtype=np.int64)
+        config = LossConfig(num_negatives=4)
+        loss_collapsed = float(
             compute_loss(
-                "AlignmentLoss", u, c, target,
+                "DirectAULoss", collapsed, collapsed, target,
                 item_idx=item_idx, pos_idx=pos_idx, config=config,
             )
         )
-        uni = 0.5 * (
-            float(_uniformity(u)) + float(_uniformity(c[: u.shape[0]]))
+        loss_spread = float(
+            compute_loss(
+                "DirectAULoss", spread, spread, target,
+                item_idx=item_idx, pos_idx=pos_idx, config=config,
+            )
         )
-        assert np.isclose(got, align + 0.7 * uni, rtol=1e-5)
+        assert loss_collapsed > loss_spread
 
     def test_uniformity_prefers_spread(self):
         """Collapsed embeddings must score a higher (worse) uniformity

@@ -10,7 +10,7 @@ Numerical-parity targets (reference /root/reference/xfmr_rec/losses.py):
 - the 7 concrete classes: losses.py:249-359
 
 Re-designed as pure functions over a frozen `LossConfig` so a single jitted
-train step can compute all losses at once (the reference runs all 7 per
+train step can compute all losses at once (the reference runs all of them per
 step and backprops only the configured one — lightning.py:137-147,189-192).
 
 Extension beyond the reference snapshot (promised in its README but not
@@ -50,6 +50,10 @@ class LossConfig:
     num_negatives: int = 0
     sigma: float = 1.0
     margin: float = 1.0
+    # DirectAU uniformity weight — its own knob, NOT margin: margin's
+    # hinge semantics (HPO samples it in [-1, 1]) would zero or negate
+    # the uniformity term
+    gamma: float = 1.0
     use_logq_correction: bool = False
 
 
@@ -232,7 +236,7 @@ def _uniformity(embed: Array) -> Array:
     n = embed.shape[0]
     d = squared_distance(embed, embed)
     off_diag = ~jnp.eye(n, dtype=bool)
-    logits = jnp.where(off_diag, -4.0 * d, -jnp.inf)
+    logits = -4.0 * d + mask_log(off_diag)
     return jax.nn.logsumexp(logits) - jnp.log(float(n * (n - 1)))
 
 
@@ -243,28 +247,29 @@ def direct_au_loss(
 
     Promised in the reference README's capability list but not
     implemented in its snapshot (its AlignmentContrastiveLoss substitutes
-    a contrastive term for uniformity). gamma = config.margin (default
-    1.0, matching the paper's typical range). Uniformity is averaged over
-    the in-batch user and positive-item embeddings; sampled corpus
-    negatives (rows past batch_size of item_embed) are excluded, as the
-    paper defines uniformity over the interaction batch.
+    a contrastive term for uniformity).
+
+    Scale note: the family's AlignmentLoss is a rating-weighted SUM over
+    the batch (reference semantics), which would drown the
+    batch-size-independent uniformity term ~100x at batch 32 and let the
+    embeddings collapse. The paper defines alignment as a MEAN, so this
+    loss uses the rating-weighted mean of the positive-pair distances;
+    gamma (config.gamma, default 1.0, paper range 0.2-10) weighs the
+    uniformity of in-batch user and positive-item embeddings (sampled
+    corpus negatives excluded, as the paper defines uniformity over the
+    interaction batch).
     """
     batch = user_embed.shape[0]
-    align = alignment_loss(
-        user_embed,
-        item_embed,
-        target,
-        item_idx=item_idx,
-        pos_idx=pos_idx,
-        config=config,
-        log_q=log_q,
+    dist = jnp.diagonal(
+        squared_distance(user_embed, item_embed[:batch])
     )
+    align = weighted_mean(dist * config.sigma, jnp.abs(target))
     if batch < 2:
         return align
     uniform = 0.5 * (
         _uniformity(user_embed) + _uniformity(item_embed[:batch])
     )
-    return align + config.margin * uniform
+    return align + config.gamma * uniform
 
 
 # Registry — names match the reference concrete classes (losses.py:249-359)

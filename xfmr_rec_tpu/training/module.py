@@ -7,7 +7,7 @@ Functional equivalent of the reference LightningModule
   keeps the reference's trained-config defaults (hidden 32, 1 layer,
   4 heads, intermediate 32, PairwiseHingeLoss, num_negatives 4,
   sigma/margin 1.0, lr 1e-4, top_k 20 — lightning.py:32-44).
-- `train_step` computes **all 7 losses** for logging and differentiates
+- `train_step` computes **all registered losses** for logging and differentiates
   only the configured `train_loss` (lightning.py:137-147, :189-192),
   in a single jit region. The three text towers (user/pos-item/neg-item)
   are concatenated into one (3B, L) encoder pass so the MXU sees one
@@ -21,7 +21,7 @@ sharded over the 'data' axis and params replicated (see parallel/).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Literal
 
 import jax
 import jax.numpy as jnp
@@ -50,10 +50,12 @@ class TrainConfig(ModelConfig):
     weight_decay: float = 0.01
     top_k: int = TOP_K
     use_logq_correction: bool = False
-    # retrieval index storage: "bfloat16" | "float32" | "int8"
-    # (int8 = per-item quantization, 2x catalog capacity per chip at
-    # bf16 speed — see index/mips.py)
-    index_dtype: str = "bfloat16"
+    # DirectAULoss uniformity weight (paper range 0.2-10)
+    gamma: float = 1.0
+    # retrieval index storage (int8 = per-item quantization, 2x catalog
+    # capacity per chip at bf16 speed — see index/mips.py); validated at
+    # config parse so a typo fails before training spends time
+    index_dtype: Literal["bfloat16", "float32", "int8"] = "bfloat16"
 
 
 class TrainState(train_state.TrainState):
@@ -86,6 +88,7 @@ def loss_config(config: TrainConfig) -> LossConfig:
         num_negatives=config.num_negatives,
         sigma=config.sigma,
         margin=config.margin,
+        gamma=config.gamma,
         use_logq_correction=config.use_logq_correction,
     )
 

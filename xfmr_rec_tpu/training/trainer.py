@@ -14,7 +14,7 @@ Orchestration parity with the reference Lightning stack
 - checkpoint/resume via orbax (best + last), deployable artifact via
   `save()` (the reference's LitModule.save, lightning.py:312-328).
 
-TPU design: one compiled train-step graph (all 7 losses + grads of the
+TPU design: one compiled train-step graph (all registered losses + grads of the
 selected one), one compiled encode graph reused for corpus/users, one
 compiled top-k+metrics graph. Host work per step is an integer-array
 gather; there is no per-step tokenization.
