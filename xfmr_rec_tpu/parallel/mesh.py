@@ -53,6 +53,16 @@ def create_mesh(
     if n_devices % model_parallel != 0:
         msg = f"{n_devices=} not divisible by {model_parallel=}"
         raise ValueError(msg)
+    if n_devices > len(devices):
+        msg = (
+            f"create_mesh asked for {n_devices} devices but only "
+            f"{len(devices)} are visible on platform "
+            f"'{devices[0].platform}'. For a virtual multi-device mesh set "
+            "JAX_PLATFORMS=cpu and XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n_devices} before the "
+            "first jax device query (see tests/conftest.py)."
+        )
+        raise ValueError(msg)
     grid = np.array(devices[:n_devices]).reshape(
         n_devices // model_parallel, model_parallel
     )
