@@ -200,6 +200,86 @@ class TestPipeline:
         batches = list(dm.train_batches())
         assert len(batches) == dm.steps_per_epoch
 
+class TestAutoWidths:
+    """Default (None) widths are corpus-derived: no user is ever truncated.
+
+    Guards the reference semantics that the accidental-hit mask covers the
+    user's ENTIRE train-positive list (data/lightning.py:274-280,
+    losses.py:92-110) and that metrics see every holdout target
+    (lightning.py:289-306)."""
+
+    @pytest.fixture(scope="class")
+    def dense_dm(self, tmp_path_factory):
+        # 10 users x ~60 ratings => heavy users hold >32 train positives
+        path = tmp_path_factory.mktemp("dense")
+        generate_movielens(
+            path, num_users=10, num_movies=120, num_ratings=600, seed=3
+        )
+        prepare_movielens(str(path), overwrite=True)
+        dm = RecDataModule(
+            DataConfig(
+                data_dir=str(path),
+                batch_size=8,
+                max_length=16,
+                vocab_size=500,
+            )
+        )
+        dm.setup()
+        return dm
+
+    def test_auto_widths_cover_corpus_max(self, dense_dm):
+        dm = dense_dm
+        heaviest = max(len(v) for v in dm._train_items_by_user.values())
+        assert heaviest > 32  # the round-1 truncation regime
+        assert dm.max_positives == heaviest
+        assert dm.max_targets == int(dm.target_counts.max())
+        # every user's full positive set is present, none dropped
+        for u, items in dm._train_items_by_user.items():
+            row = set(dm.user_pos_idx[u].tolist())
+            row.discard(0)
+            assert row == {i + 1 for i in items}
+
+    def test_no_positive_survives_as_negative(self, dense_dm):
+        """A user with >32 train positives: every one of their positives is
+        an accidental hit, including those past the old 32-wide cap."""
+        import jax.numpy as jnp
+
+        from xfmr_rec_tpu.ops.masking import negative_masks
+
+        dm = dense_dm
+        u, items = max(
+            dm._train_items_by_user.items(), key=lambda kv: len(kv[1])
+        )
+        pos_rns = np.asarray(sorted(items), dtype=np.int64) + 1
+        assert len(pos_rns) > 32
+        # candidates = the row's own positive + the user's positives beyond
+        # the old cap, posing as sampled negatives
+        item_idx = np.concatenate([pos_rns[:1], pos_rns[32:]])
+        logits = jnp.zeros((1, len(item_idx)))
+        masks = negative_masks(
+            logits,
+            item_idx=jnp.asarray(item_idx),
+            pos_idx=jnp.asarray(dm.user_pos_idx[[u]]),
+        )
+        assert not bool(masks.any())
+
+    def test_explicit_cap_still_truncates(self, dense_dm, tmp_path):
+        dm = RecDataModule(
+            DataConfig(
+                data_dir=dense_dm.config.data_dir,
+                max_positives=4,
+                max_targets=4,
+                max_length=16,
+                vocab_size=500,
+            )
+        )
+        dm.setup()
+        assert dm.user_pos_idx.shape[1] == 4
+        batch = next(iter(dm.eval_batches("val")))
+        assert batch["target_ids"].shape[1] == 4
+
+
+class TestOffline:
     def test_offline_prepare_falls_back_to_synthetic(self, tmp_path):
         dm = RecDataModule(
             DataConfig(

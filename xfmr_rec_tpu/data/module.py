@@ -48,8 +48,15 @@ class DataConfig(pydantic.BaseModel):
     eval_batch_size: int = 256
     max_length: int = 64
     vocab_size: int = 30522
-    max_positives: int = 32
-    max_targets: int = 256
+    # pos_idx / target padding widths. None (default) = corpus-derived at
+    # setup(): the max per-user count, so NO user's accidental-hit mask or
+    # recall denominator is ever truncated (the reference masks the user's
+    # entire train-positive list — data/lightning.py:274-280, losses.py:92-110
+    # — and torchmetrics sees every holdout target, lightning.py:289-306).
+    # An explicit int is honored as a hard cap (memory control for huge
+    # corpora) — with truncation, logged loudly.
+    max_positives: int | None = None
+    max_targets: int | None = None
     seed: int = 0
     # offline fallback: generate a synthetic corpus when raw data is absent
     synthetic_if_missing: bool = True
@@ -202,7 +209,19 @@ class RecDataModule:
             np.asarray(train_items_by_user.get(u, []), dtype=np.int64) + 1
             for u in range(self.num_users)
         ]  # +1: positions -> movie_rn
-        self.user_pos_idx = _pad_rows(pos_rows, cfg.max_positives, 0)
+        corpus_max_pos = max((len(r) for r in pos_rows), default=1) or 1
+        self.max_positives = (
+            cfg.max_positives if cfg.max_positives is not None else corpus_max_pos
+        )
+        if self.max_positives < corpus_max_pos:
+            logger.warning(
+                "max_positives=%d truncates the accidental-hit mask for "
+                "users with up to %d train positives — true positives may "
+                "be mined as negatives",
+                self.max_positives,
+                corpus_max_pos,
+            )
+        self.user_pos_idx = _pad_rows(pos_rows, self.max_positives, 0)
 
         # holdout targets per user, sorted by rating desc (cap-safe idcg)
         holdout = ratings.loc[~ratings["is_train"]]
@@ -222,6 +241,17 @@ class RecDataModule:
         self.target_counts = np.array(
             [len(t) for t in target_ids], dtype=np.int64
         )
+        corpus_max_targets = max(int(self.target_counts.max()), 1)
+        self.max_targets = (
+            cfg.max_targets if cfg.max_targets is not None else corpus_max_targets
+        )
+        if self.max_targets < corpus_max_targets:
+            logger.warning(
+                "max_targets=%d truncates holdout targets (corpus max %d) — "
+                "recall denominators shrink vs torchmetrics semantics",
+                self.max_targets,
+                corpus_max_targets,
+            )
 
         # subset membership per user
         self.user_subsets = {
@@ -324,13 +354,13 @@ class RecDataModule:
                 self.num_items,  # out-of-range => dropped by scatter
             )
             target_ids = _pad_rows(
-                [self._target_ids[u] for u in take], cfg.max_targets, 0
+                [self._target_ids[u] for u in take], self.max_targets, 0
             )
             ratings = np.zeros(
-                (batch, cfg.max_targets), dtype=np.float32
+                (batch, self.max_targets), dtype=np.float32
             )
             for i, u in enumerate(take):
-                r = self._target_ratings[u][: cfg.max_targets]
+                r = self._target_ratings[u][: self.max_targets]
                 ratings[i, : len(r)] = r
             yield {
                 "user_pos": take,
