@@ -191,6 +191,29 @@ class TestPipeline:
                 assert not (excl_ids & tgts)
             break
 
+    def test_eval_interaction_batches_shapes(self, dm):
+        """Held-out loss batches mirror the train-batch contract."""
+        train = next(iter(dm.train_batches()))
+        batch = next(iter(dm.eval_interaction_batches("val")))
+        assert set(batch) == set(train)
+        assert batch["user_tokens"].shape == (8, 16)
+        assert batch["item_idx"].shape == (16,)
+        assert (batch["item_idx"] >= 1).all()
+        # deterministic across calls (fresh negative stream each pass)
+        again = next(iter(dm.eval_interaction_batches("val")))
+        for key in batch:
+            np.testing.assert_array_equal(batch[key], again[key])
+
+    def test_eval_interaction_pos_idx_is_holdout(self, dm):
+        """Holdout rows mask the user's HOLDOUT positives (the reference
+        joins the (user, is_train) target list — prepare.py:236-241), so
+        the row's own holdout item is in its pos_idx."""
+        batch = next(iter(dm.eval_interaction_batches("val")))
+        for i in range(8):
+            row = set(batch["pos_idx"][i].tolist())
+            row.discard(0)
+            assert int(batch["item_idx"][i]) in row
+
     def test_val_test_users_disjoint(self, dm):
         val = set(dm.eval_users("val").tolist())
         test = set(dm.eval_users("test").tolist())

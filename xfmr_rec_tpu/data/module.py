@@ -198,6 +198,25 @@ class RecDataModule:
             ratings["is_train"], "rating"
         ].to_numpy(dtype=np.float32)
 
+        # holdout interaction arrays per subset, for val/test loss logging
+        # (the reference runs compute_losses at every val/test step —
+        # lightning.py:194-206)
+        self._holdout_interactions: dict[str, tuple] = {}
+        for subset in ("val", "test"):
+            mask = ratings[f"is_{subset}"] & ~ratings["is_train"]
+            rows = ratings.loc[mask]
+            self._holdout_interactions[subset] = (
+                np.array(
+                    [user_pos_of_id[u] for u in rows["user_id"]],
+                    dtype=np.int64,
+                ),
+                np.array(
+                    [item_pos_of_id[m] for m in rows["movie_id"]],
+                    dtype=np.int64,
+                ),
+                rows["rating"].to_numpy(dtype=np.float32),
+            )
+
         # per-user train positives (item row-numbers, for pos_idx) and
         # train item positions (for eval exclusion)
         train_items_by_user: dict[int, list[int]] = {}
@@ -231,11 +250,31 @@ class RecDataModule:
         target_ratings: list[np.ndarray] = [
             np.zeros(0, dtype=np.float64) for _ in range(self.num_users)
         ]
+        holdout_pos_rows = [
+            np.zeros(0, dtype=np.int64) for _ in range(self.num_users)
+        ]
         for user_id, group in holdout.groupby("user_id"):
             upos = user_pos_of_id[int(user_id)]
             order = np.argsort(-group["rating"].to_numpy(), kind="stable")
             target_ids[upos] = group["movie_id"].to_numpy()[order]
             target_ratings[upos] = group["rating"].to_numpy()[order]
+            holdout_pos_rows[upos] = (
+                np.array(
+                    [item_pos_of_id[m] for m in group["movie_id"]],
+                    dtype=np.int64,
+                )
+                + 1  # positions -> movie_rn
+            )
+        # accidental-hit mask rows for holdout loss batches: the reference
+        # joins the (user, is_train=False) target list onto holdout rows
+        # (prepare.py:236-241), so val/test losses mask the user's HOLDOUT
+        # positives, not the train ones
+        holdout_width = max(
+            (len(r) for r in holdout_pos_rows), default=1
+        ) or 1
+        self.user_holdout_pos_idx = _pad_rows(
+            holdout_pos_rows, holdout_width, 0
+        )
         self._target_ids = target_ids
         self._target_ratings = target_ratings
         self.target_counts = np.array(
@@ -306,6 +345,42 @@ class RecDataModule:
                 "target": self.train_rating[take],
                 "item_idx": item_idx.astype(np.int64),
                 "pos_idx": self.user_pos_idx[upos],
+                "log_q": log_q,
+            }
+
+    def eval_interaction_batches(
+        self, subset: str = "val"
+    ) -> Iterator[dict[str, np.ndarray]]:
+        """Held-out interaction batches, loss-step-shaped like
+        `train_batches` (MNS negative per row, pos_idx mask, log_q).
+
+        Deterministic: a fixed-order pass over the subset's holdout
+        ratings with a freshly seeded negative stream, so val/test loss
+        curves are comparable across validations.
+        """
+        cfg = self.config
+        upos_all, ipos_all, rating_all = self._holdout_interactions[subset]
+        sampler = NegativeItemSampler(self.num_items, seed=cfg.seed + 1)
+        batch = cfg.batch_size
+        for start in range(0, len(upos_all) - batch + 1, batch):
+            take = slice(start, start + batch)
+            upos = upos_all[take]
+            ipos = ipos_all[take]
+            neg_pos = sampler.draw(batch)
+            item_idx = np.concatenate([ipos, neg_pos]) + 1  # movie_rn
+            log_q = np.concatenate(
+                [
+                    self.item_log_q_inbatch[ipos],
+                    self.item_log_q_uniform[neg_pos],
+                ]
+            )
+            yield {
+                "user_tokens": self.user_tokens[upos],
+                "item_tokens": self.item_tokens[ipos],
+                "neg_item_tokens": self.item_tokens[neg_pos],
+                "target": rating_all[take],
+                "item_idx": item_idx.astype(np.int64),
+                "pos_idx": self.user_holdout_pos_idx[upos],
                 "log_q": log_q,
             }
 

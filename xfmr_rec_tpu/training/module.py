@@ -148,15 +148,19 @@ def make_train_step(config: TrainConfig):
 
 
 def make_eval_loss_step(config: TrainConfig):
-    """Validation-loss step: same losses, deterministic encoder."""
+    """Held-out-loss step: the full loss family, deterministic encoder.
+
+    The reference logs all losses at every val/test step
+    (lightning.py:194-206 via compute_losses). Returns raw loss names;
+    the caller adds the `val/` / `test/` prefix.
+    """
 
     def eval_step(
         state: TrainState, batch: dict[str, Array]
     ) -> dict[str, Array]:
-        losses = compute_batch_losses(
+        return compute_batch_losses(
             state.apply_fn, state.params, batch, config, dropout_rng=None
         )
-        return {f"val/{name}": value for name, value in losses.items()}
 
     return eval_step
 

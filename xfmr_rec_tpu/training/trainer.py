@@ -58,6 +58,9 @@ class TrainerConfig:
     val_check_interval: float = 0.25
     limit_train_batches: float | int | None = None
     limit_val_batches: int | None = None
+    # held-out interaction batches per validation for val/<LossName>
+    # logging (None = the full holdout stream)
+    limit_val_loss_batches: int | None = 8
     early_stopping_min_delta: float = 0.001
     early_stopping_patience: int = 3
     encode_batch_size: int = 512
@@ -67,6 +70,13 @@ class TrainerConfig:
     ckpt_dir: str | None = None
     seed: int = 0
     profile_dir: str | None = None
+    # Device mesh (the reference's DDP equivalent, ray.py:40-51): None =
+    # auto — shard over all visible devices when there is more than one.
+    # Training batches shard over the full mesh (data parallelism, grads
+    # all-reduced over ICI); with model_parallel > 1 the eval corpus is
+    # additionally sharded over the "model" axis (corpus parallelism).
+    mesh: bool | None = None
+    model_parallel: int = 1
 
 
 class Trainer:
@@ -95,6 +105,9 @@ class Trainer:
         self.best_metric = -np.inf
         self._bad_checks = 0
         self.index: RetrievalIndex | None = None
+        self.mesh = None
+        self._sharded_corpus = None
+        self._sharded_corpus_pad = 0
 
     # ------------------------------------------------------------------
     def setup(self) -> None:
@@ -105,9 +118,48 @@ class Trainer:
         self.model, self.state = create_train_state(
             self.config, rng=self.trainer_config.seed
         )
-        self._train_step = jax.jit(make_train_step(self.config), donate_argnums=0)
-        self._eval_step = jax.jit(make_eval_loss_step(self.config))
-        self._encode = jax.jit(make_encode_fn(self.model))
+        tc = self.trainer_config
+        n_devices = len(jax.devices())
+        use_mesh = tc.mesh if tc.mesh is not None else n_devices > 1
+        if use_mesh:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from xfmr_rec_tpu.parallel import (
+                create_mesh,
+                make_sharded_train_step,
+            )
+            from xfmr_rec_tpu.parallel.mesh import batch_spec, replicate
+
+            self.mesh = create_mesh(model_parallel=tc.model_parallel)
+            if self.data.config.batch_size % self.mesh.size:
+                msg = (
+                    f"batch_size {self.data.config.batch_size} must be "
+                    f"divisible by the mesh size {self.mesh.size} "
+                    f"(shape {dict(self.mesh.shape)})"
+                )
+                raise ValueError(msg)
+            self.state = replicate(self.state, self.mesh)
+            replicated = NamedSharding(self.mesh, P())
+            sharded_rows = NamedSharding(
+                self.mesh, P(batch_spec()[0], None)
+            )
+            self._train_step = make_sharded_train_step(
+                self.config, self.mesh
+            )
+            self._eval_step = jax.jit(
+                make_eval_loss_step(self.config), out_shardings=replicated
+            )
+            self._encode = jax.jit(
+                make_encode_fn(self.model),
+                in_shardings=(replicated, sharded_rows),
+                out_shardings=replicated,
+            )
+        else:
+            self._train_step = jax.jit(
+                make_train_step(self.config), donate_argnums=0
+            )
+            self._eval_step = jax.jit(make_eval_loss_step(self.config))
+            self._encode = jax.jit(make_encode_fn(self.model))
         self.logger.log_hyperparams(
             {
                 "model": self.config.model_dump(),
@@ -146,7 +198,9 @@ class Trainer:
                 if tc.profile_dir and self.global_step == 10 and not profiling:
                     jax.profiler.start_trace(tc.profile_dir)
                     profiling = True
-                self.state, metrics = self._train_step(self.state, batch)
+                self.state, metrics = self._train_step(
+                    self.state, self._place_batch(batch)
+                )
                 self.global_step += 1
                 if profiling and self.global_step == 20:
                     jax.block_until_ready(metrics)
@@ -198,9 +252,29 @@ class Trainer:
     # ------------------------------------------------------------------
     # evaluation
     # ------------------------------------------------------------------
+    def _place_batch(self, batch: dict) -> dict:
+        """Shard a host batch over the mesh (no-op single-device)."""
+        if self.mesh is None:
+            return batch
+        from xfmr_rec_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
+    def _encode_tokens(self, tokens: np.ndarray):
+        """Encode one token batch, mesh-padding rows to the device count."""
+        pad = -len(tokens) % (self.mesh.size if self.mesh else 1)
+        if pad:
+            tokens = np.concatenate(
+                [tokens, np.zeros((pad, tokens.shape[1]), tokens.dtype)]
+            )
+        out = self._encode(self.state.params, tokens)
+        return out[:-pad] if pad else out
+
     def _encode_rows(self, tokens: np.ndarray) -> np.ndarray:
         """Encode a token matrix in fixed-size batches (pad last batch)."""
         batch = self.trainer_config.encode_batch_size
+        if self.mesh is not None:  # keep chunk shapes mesh-divisible
+            batch += -batch % self.mesh.size
         outs = []
         for start in range(0, len(tokens), batch):
             chunk = tokens[start : start + batch]
@@ -226,7 +300,52 @@ class Trainer:
             dtype=self.config.index_dtype,
             method="auto",
         )
+        if self.mesh is not None and self.mesh.shape["model"] > 1:
+            # corpus parallelism: the item matrix shards over the "model"
+            # axis and eval top-k merges over ICI (parallel/retrieval.py)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            num_model = self.mesh.shape["model"]
+            pad = -len(corpus) % num_model
+            padded = (
+                np.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
+            )
+            self._sharded_corpus = jax.device_put(
+                padded.astype(np.float32),
+                NamedSharding(self.mesh, P("model", None)),
+            )
+            self._sharded_corpus_pad = pad
         return self.index
+
+    def _sharded_search(
+        self, users: jnp.ndarray, batch: dict, top_k: int
+    ) -> np.ndarray:
+        """Eval top-k over the model-axis-sharded corpus (exact, merged
+        over ICI). Zero-embedding pad rows are masked via exclusions."""
+        from xfmr_rec_tpu.parallel.retrieval import sharded_topk
+
+        excl = np.asarray(batch["exclude_positions"], dtype=np.int32)
+        if self._sharded_corpus_pad:
+            n = self.data.num_items
+            pad_cols = np.broadcast_to(
+                np.arange(
+                    n, n + self._sharded_corpus_pad, dtype=np.int32
+                ),
+                (len(excl), self._sharded_corpus_pad),
+            )
+            excl = np.concatenate([excl, pad_cols], axis=1)
+        _, positions = sharded_topk(
+            jnp.asarray(users, dtype=jnp.float32),
+            self._sharded_corpus,
+            top_k,
+            self.mesh,
+            exclude_positions=jnp.asarray(excl),
+        )
+        # clip: pad rows can only appear when top_k > unexcluded items
+        positions = np.minimum(
+            np.asarray(positions), self.data.num_items - 1
+        )
+        return self.data.item_ids[positions]
 
     def _eval_retrieval(self, subset: str) -> dict[str, float]:
         index = self.build_index()
@@ -237,12 +356,15 @@ class Trainer:
         for batch_idx, batch in enumerate(self.data.eval_batches(subset)):
             if limit is not None and batch_idx >= limit:
                 break
-            users = self._encode(self.state.params, batch["user_tokens"])
-            _, pred_ids = index.search(
-                users,
-                top_k=top_k,
-                exclude_positions=batch["exclude_positions"],
-            )
+            users = self._encode_tokens(batch["user_tokens"])
+            if self._sharded_corpus is not None:
+                pred_ids = self._sharded_search(users, batch, top_k)
+            else:
+                _, pred_ids = index.search(
+                    users,
+                    top_k=top_k,
+                    exclude_positions=batch["exclude_positions"],
+                )
             # zero the padded rows' targets: retrieval_metrics then drops
             # them from the mean (users with no targets are excluded)
             valid = batch["valid"][:, None]
@@ -259,14 +381,37 @@ class Trainer:
             count += weight
         return {key: value / max(count, 1) for key, value in totals.items()}
 
+    def _eval_losses(self, subset: str) -> dict[str, float]:
+        """Average the full loss family over held-out interaction batches
+        (the reference logs all losses at every val/test step,
+        lightning.py:194-206)."""
+        limit = self.trainer_config.limit_val_loss_batches
+        totals: dict[str, float] = {}
+        count = 0
+        for batch_idx, batch in enumerate(
+            self.data.eval_interaction_batches(subset)
+        ):
+            if limit is not None and batch_idx >= limit:
+                break
+            losses = self._eval_step(self.state, self._place_batch(batch))
+            for name, value in losses.items():
+                totals[name] = totals.get(name, 0.0) + float(value)
+            count += 1
+        return {
+            f"{subset}/{name}": value / count
+            for name, value in totals.items()
+        } if count else {}
+
     def validate(self) -> dict[str, float]:
         metrics = self._eval_retrieval("val")
+        metrics.update(self._eval_losses("val"))
         self.logger.log_metrics(metrics, self.global_step)
         logger.info("step %d val: %s", self.global_step, metrics)
         return metrics
 
     def test(self) -> dict[str, float]:
         metrics = self._eval_retrieval("test")
+        metrics.update(self._eval_losses("test"))
         self.logger.log_metrics(metrics, self.global_step)
         return metrics
 
