@@ -224,12 +224,45 @@ class TestDirectAU:
             )
         )
         b = u.shape[0]
-        diag = 0.5 * ((u - c[:b]) ** 2).sum(-1)
-        # paper-form alignment: rating-weighted MEAN (a sum would drown
-        # the batch-size-independent uniformity term ~100x)
-        align = float((diag * np.abs(target)).sum() / np.abs(target).sum())
+        diag = ((u - c[:b]) ** 2).sum(-1)  # paper form: full ||u - i||^2
+        # paper-form alignment: rating-weighted MEAN over positive rows
+        # (a sum would drown the batch-size-independent uniformity ~100x;
+        # negative-feedback rows are excluded, not aligned)
+        w = np.maximum(target, 0.0)
+        align = float((diag * w).sum() / w.sum())
         uni = 0.5 * (float(_uniformity(u)) + float(_uniformity(c[:b])))
         assert np.isclose(got, align + 0.7 * uni, rtol=1e-4)
+
+    def test_negative_target_rows_excluded_from_alignment(self):
+        """A negative-feedback row must not be pulled towards its item."""
+        u, c, target, item_idx, pos_idx = make_batch(seed=12)
+        config = LossConfig(num_negatives=4, gamma=0.0)
+        base = float(
+            compute_loss(
+                "DirectAULoss", u, c, target,
+                item_idx=item_idx, pos_idx=pos_idx, config=config,
+            )
+        )
+        flipped = np.array(target)
+        flipped[0] = -flipped[0]
+        from xfmr_rec_tpu.ops.losses import direct_au_loss
+
+        import jax.numpy as jnp
+
+        got = float(
+            direct_au_loss(
+                u, c, jnp.asarray(flipped),
+                item_idx=item_idx, pos_idx=pos_idx, config=config,
+            )
+        )
+        # with gamma=0 the loss is the positive-row weighted mean: row 0
+        # drops out entirely instead of contributing as a positive
+        b = u.shape[0]
+        diag = ((np.asarray(u) - np.asarray(c)[:b]) ** 2).sum(-1)
+        w = np.maximum(flipped, 0.0)
+        want = float((diag * w).sum() / w.sum())
+        assert np.isclose(got, want, rtol=1e-4)
+        assert not np.isclose(got, base, rtol=1e-6)
 
     def test_uniformity_term_not_drowned(self):
         """gamma * d(uniformity) must matter at default settings: a

@@ -252,18 +252,23 @@ def direct_au_loss(
     Scale note: the family's AlignmentLoss is a rating-weighted SUM over
     the batch (reference semantics), which would drown the
     batch-size-independent uniformity term ~100x at batch 32 and let the
-    embeddings collapse. The paper defines alignment as a MEAN, so this
-    loss uses the rating-weighted mean of the positive-pair distances;
-    gamma (config.gamma, default 1.0, paper range 0.2-10) weighs the
-    uniformity of in-batch user and positive-item embeddings (sampled
-    corpus negatives excluded, as the paper defines uniformity over the
+    embeddings collapse. The paper defines alignment as a MEAN of
+    ||u - i||^2 (squared_distance returns half that, hence the 2x), so
+    this loss uses the rating-weighted mean over POSITIVE-target rows —
+    DirectAU is defined on observed positive interactions, so
+    negative-feedback rows are excluded rather than aligned. gamma
+    (config.gamma, default 1.0, paper range 0.2-10) weighs the uniformity
+    of in-batch user and positive-item embeddings (sampled corpus
+    negatives excluded, as the paper defines uniformity over the
     interaction batch).
     """
     batch = user_embed.shape[0]
     dist = jnp.diagonal(
         squared_distance(user_embed, item_embed[:batch])
     )
-    align = weighted_mean(dist * config.sigma, jnp.abs(target))
+    align = weighted_mean(
+        2.0 * dist * config.sigma, jnp.maximum(target, 0.0)
+    )
     if batch < 2:
         return align
     uniform = 0.5 * (

@@ -47,6 +47,13 @@ def sharded_topk(
     num_model = mesh.shape[MODEL_AXIS]
     local_n = corpus.shape[0] // num_model
     local_k = min(k, local_n)
+    if k > num_model * local_k:
+        msg = (
+            f"k={k} exceeds the merged candidate pool "
+            f"{num_model} shards x min(k, local_n={local_n}) = "
+            f"{num_model * local_k}; reduce k or use fewer shards"
+        )
+        raise ValueError(msg)
 
     has_exclusions = exclude_positions is not None
     if not has_exclusions:
@@ -119,6 +126,16 @@ def sharded_certified_topk(
     local_n = corpus.shape[0] // num_model
     if corpus.shape[0] % num_model:
         msg = f"corpus rows {corpus.shape[0]} % mesh '{MODEL_AXIS}' != 0"
+        raise ValueError(msg)
+    if k > num_model * min(k, local_n):
+        # the merged candidate pool is num_model * min(k, local_n) wide;
+        # a k beyond that (tiny per-shard corpora) would crash inside
+        # lax.top_k with an opaque shape error
+        msg = (
+            f"k={k} exceeds the merged candidate pool "
+            f"{num_model} shards x min(k, local_n={local_n}) = "
+            f"{num_model * min(k, local_n)}; reduce k or use fewer shards"
+        )
         raise ValueError(msg)
     batch = queries.shape[0]
     bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, batch)

@@ -57,13 +57,15 @@ class MetricsLogger:
             json.dumps(params, indent=2, default=str)
         )
         if self._mlflow is not None:
-            flat = {
-                f"{section}.{key}": value
-                for section, sub in params.items()
-                for key, value in (
-                    sub.items() if isinstance(sub, dict) else [("", sub)]
-                )
-            }
+            # non-dict sections keep the bare section name (a trailing-dot
+            # key like 'section.' is rejected by some tracking backends)
+            flat = {}
+            for section, sub in params.items():
+                if isinstance(sub, dict):
+                    for key, value in sub.items():
+                        flat[f"{section}.{key}"] = value
+                else:
+                    flat[section] = sub
             self._mlflow.log_params(flat)
             # archive the config like the reference's
             # LoggerSaveConfigCallback (lightning.py:331-355)
