@@ -2,7 +2,13 @@
 
 import numpy as np
 
-from xfmr_rec_tpu.tuning import SearchSpace, tune
+from xfmr_rec_tpu.tuning import (
+    AdaptiveSampler,
+    PlateauStopper,
+    SearchSpace,
+    tune,
+    tune_adaptive,
+)
 
 
 class TestSearchSpace:
@@ -81,6 +87,149 @@ class TestSuccessiveHalving:
         tune(evaluate, num_samples=4, min_resource=1.0, log_path=log)
         lines = log.read_text().strip().splitlines()
         assert len(lines) == 4
+
+    def test_explicit_configs_bypass_sampling(self):
+        seen = []
+
+        def evaluate(config, resource):
+            seen.append(config["learning_rate"])
+            return {"val/RetrievalNormalizedDCG": 0.1}
+
+        cfgs = [
+            {**SearchSpace().default_point(), "learning_rate": lr}
+            for lr in (1e-4, 2e-4, 3e-4)
+        ]
+        result = tune(
+            evaluate, configs=cfgs, min_resource=1.0, max_resource=1.0,
+        )
+        assert sorted(seen) == [1e-4, 2e-4, 3e-4]
+        assert len(result.trials) == 3
+
+
+def _objective(config, resource):
+    """Smooth peak at lr=1e-3, sigma=10, margin=0.5, PairwiseHingeLoss."""
+    score = 1.0
+    score *= 1.0 / (1.0 + abs(np.log10(config["learning_rate"]) + 3))
+    score *= 1.0 / (1.0 + abs(np.log10(config["sigma"]) - 1))
+    score *= 1.0 / (1.0 + abs(config["margin"] - 0.5))
+    if config["train_loss"] != "PairwiseHingeLoss":
+        score *= 0.5
+    return {"val/RetrievalNormalizedDCG": score * resource}
+
+
+class TestAdaptiveSampler:
+    def test_proposals_stay_in_bounds(self):
+        space = SearchSpace()
+        sampler = AdaptiveSampler(space, seed=0, n_startup=4)
+        rng = np.random.default_rng(1)
+        # seed with observations so the perturbation path is exercised
+        for _ in range(10):
+            cfg = space.sample(rng)
+            sampler.observe(cfg, float(rng.random()))
+        for _ in range(100):
+            cfg = sampler.propose()
+            assert cfg["train_loss"] in space.train_losses
+            assert cfg["num_negatives"] in {1, 2, 4, 8, 16, 32, 64}
+            assert 1.0 <= cfg["sigma"] <= 1000.0
+            assert -1.0 <= cfg["margin"] <= 1.0
+            assert abs(cfg["margin"] * 100 - round(cfg["margin"] * 100)) < 1e-6
+            assert 1e-4 <= cfg["learning_rate"] <= 1e-2
+
+    def test_nonfinite_observations_ignored(self):
+        sampler = AdaptiveSampler(SearchSpace(), seed=0)
+        sampler.observe(SearchSpace().default_point(), -np.inf)
+        assert sampler.observations == []
+
+    def test_beats_random_on_smooth_objective(self):
+        """Same trial budget: adaptive must find a better optimum than
+        random sampling (averaged over seeds to avoid a lucky draw)."""
+
+        def best_of(sample_fn, seed, n=48):
+            space = SearchSpace()
+            rng = np.random.default_rng(seed)
+            sampler = AdaptiveSampler(space, seed=seed, n_startup=8)
+            best = -np.inf
+            for _ in range(n):
+                cfg = (
+                    sampler.propose() if sample_fn == "adaptive"
+                    else space.sample(rng)
+                )
+                metric = _objective(cfg, 1.0)["val/RetrievalNormalizedDCG"]
+                sampler.observe(cfg, metric)
+                best = max(best, metric)
+            return best
+
+        adaptive = np.mean([best_of("adaptive", s) for s in range(5)])
+        random = np.mean([best_of("random", s) for s in range(5)])
+        assert adaptive > random
+
+
+class TestPlateauStopper:
+    def test_stops_after_patience(self):
+        stopper = PlateauStopper(patience=3, min_delta=0.01)
+        assert not stopper.update(0.5)
+        assert not stopper.update(0.505)  # below min_delta: stale
+        assert not stopper.update(0.5)
+        assert stopper.update(0.49)
+        assert stopper.stopped
+
+    def test_improvement_resets(self):
+        stopper = PlateauStopper(patience=2, min_delta=0.0)
+        stopper.update(0.1)
+        stopper.update(0.05)
+        assert not stopper.update(0.2)  # improvement resets stale count
+        assert not stopper.update(0.1)
+        assert stopper.update(0.1)
+
+
+class TestTuneAdaptive:
+    def test_plateau_stops_experiment(self):
+        def evaluate(config, resource):
+            return {"val/RetrievalNormalizedDCG": 0.5}  # never improves
+
+        result = tune_adaptive(
+            evaluate, total_samples=64, bracket_size=4,
+            min_resource=1.0, max_resource=1.0,
+            plateau=PlateauStopper(patience=5), seed=0,
+        )
+        # stops after ~patience trials, far short of 64 proposals
+        assert len(result.trials) < 20
+
+    def test_reaches_optimum_with_fewer_trials_than_random(self):
+        """VERDICT item 8's shape: adaptive reaches random's best in
+        fewer trials on the smooth objective."""
+        random_result = tune(
+            _objective, num_samples=24, min_resource=1.0,
+            max_resource=1.0, seed=7,
+        )
+        target = random_result.best_trial.metric
+
+        adaptive_result = tune_adaptive(
+            _objective, total_samples=24, bracket_size=6,
+            min_resource=1.0, max_resource=1.0, seed=7,
+            plateau=PlateauStopper(patience=100),
+        )
+        metrics = [t.metric for t in adaptive_result.trials]
+        reached = next(
+            (i for i, m in enumerate(metrics) if m >= target), None
+        )
+        assert reached is not None and reached + 1 <= len(
+            random_result.trials
+        )
+
+    def test_bracket_resources_follow_sha(self):
+        calls = []
+
+        def evaluate(config, resource):
+            calls.append(resource)
+            return _objective(config, resource)
+
+        tune_adaptive(
+            evaluate, total_samples=8, bracket_size=4,
+            min_resource=0.25, max_resource=1.0, reduction_factor=2,
+            seed=1, plateau=PlateauStopper(patience=100),
+        )
+        assert sorted(set(calls)) == [0.25, 0.5, 1.0]
 
     def test_real_trainer_smoke(self, tmp_path):
         """One real trial through make_trainer_evaluator."""

@@ -1,5 +1,19 @@
-"""Hyperparameter search: random sampling + successive halving (ASHA)."""
+"""Hyperparameter search: adaptive sampling + successive halving."""
 
-from xfmr_rec_tpu.tuning.hpo import SearchSpace, TuneResult, tune
+from xfmr_rec_tpu.tuning.hpo import (
+    AdaptiveSampler,
+    PlateauStopper,
+    SearchSpace,
+    TuneResult,
+    tune,
+    tune_adaptive,
+)
 
-__all__ = ["SearchSpace", "TuneResult", "tune"]
+__all__ = [
+    "AdaptiveSampler",
+    "PlateauStopper",
+    "SearchSpace",
+    "TuneResult",
+    "tune",
+    "tune_adaptive",
+]

@@ -1,4 +1,4 @@
-"""Hyperparameter search: random sampling + synchronous successive halving.
+"""Hyperparameter search: adaptive sampling + successive halving.
 
 Capability parity with the reference's two HPO drivers
 (/root/reference/xfmr_rec/flaml.py and ray.py):
@@ -9,11 +9,17 @@ Capability parity with the reference's two HPO drivers
 - same resource schedule: limit_train_batches as the halving resource,
   1/16 -> 1.0 with reduction factor 2 (flaml.py:96-99).
 - same objective: val/RetrievalNormalizedDCG, max (params.py METRIC).
+- adaptive proposals (`AdaptiveSampler`: top-quartile resampling with
+  log-normal perturbation) standing in for FLAML BlendSearch
+  (flaml.py:87-100), and `PlateauStopper` standing in for Ray's
+  ExperimentPlateauStopper (ray.py:170-177).
 
 The driver is a single-process successive-halving loop (the TPU is one
 device; trial parallelism buys nothing) with a wall-clock budget, JSONL
-trial log, and best-trial summary — replacing the FLAML BlendSearch / Ray
-Tune machinery with ~150 transparent lines.
+trial log, and best-trial summary. `tune()` runs one synchronous SHA
+bracket over a fixed config list; `tune_adaptive()` chains brackets,
+feeding each bracket's results back into the sampler and stopping on
+plateau.
 """
 
 from __future__ import annotations
@@ -85,6 +91,110 @@ class SearchSpace:
         }
 
 
+class AdaptiveSampler:
+    """Top-quartile resampling: propose near configs that scored well.
+
+    Replaces FLAML BlendSearch (reference flaml.py:87-100) with a
+    transparent evolutionary scheme: the first `n_startup` proposals are
+    random; afterwards, with probability `explore` a fresh random config
+    is drawn (coverage), otherwise a uniformly random *elite* (top
+    `elite_frac` of observed trials by metric) is perturbed — categorical
+    re-draws with small probability, log-scale params jittered
+    log-normally, margin jittered and re-quantized. Observations at
+    higher SHA rungs naturally dominate the elite set because their
+    metrics are computed with more resource.
+    """
+
+    def __init__(
+        self,
+        space: SearchSpace,
+        *,
+        seed: int = 0,
+        n_startup: int = 8,
+        elite_frac: float = 0.25,
+        explore: float = 0.2,
+        scale: float = 1.0,
+    ) -> None:
+        self.space = space
+        self.rng = np.random.default_rng(seed)
+        self.n_startup = n_startup
+        self.elite_frac = elite_frac
+        self.explore = explore
+        self.scale = scale
+        self.observations: list[tuple[float, dict[str, Any]]] = []
+
+    def observe(self, config: dict[str, Any], metric: float) -> None:
+        if math.isfinite(metric):
+            self.observations.append((metric, dict(config)))
+
+    def propose(self) -> dict[str, Any]:
+        obs = self.observations
+        if len(obs) < self.n_startup or self.rng.random() < self.explore:
+            return self.space.sample(self.rng)
+        ranked = sorted(obs, key=lambda mc: mc[0], reverse=True)
+        n_elite = max(1, int(len(ranked) * self.elite_frac))
+        parent = ranked[int(self.rng.integers(n_elite))][1]
+        return self._perturb(parent)
+
+    def _perturb(self, cfg: dict[str, Any]) -> dict[str, Any]:
+        rng, space, s = self.rng, self.space, self.scale
+        out = dict(cfg)
+        if rng.random() < 0.3:
+            out["train_loss"] = str(rng.choice(space.train_losses))
+        lo, hi = space.log_num_negatives
+        log_nn = int(round(math.log2(max(1, cfg["num_negatives"]))))
+        out["num_negatives"] = int(
+            2 ** int(np.clip(log_nn + rng.integers(-1, 2), lo, hi))
+        )
+        out["sigma"] = float(
+            np.clip(
+                cfg["sigma"] * math.exp(rng.normal(0.0, 0.5 * s)),
+                space.sigma[0], space.sigma[1],
+            )
+        )
+        m_lo, m_hi, m_step = space.margin
+        margin = cfg["margin"] + rng.normal(0.0, 0.25 * s)
+        out["margin"] = float(
+            np.clip(round(margin / m_step) * m_step, m_lo, m_hi)
+        )
+        out["learning_rate"] = float(
+            np.clip(
+                cfg["learning_rate"] * math.exp(rng.normal(0.0, 0.5 * s)),
+                space.learning_rate[0], space.learning_rate[1],
+            )
+        )
+        return out
+
+
+@dataclasses.dataclass
+class PlateauStopper:
+    """Stop the experiment when the best metric stops improving.
+
+    Equivalent of Ray's ExperimentPlateauStopper (reference
+    ray.py:170-177): `update(metric)` returns True once `patience`
+    consecutive updates have failed to beat the running best by more
+    than `min_delta` (the reference's EarlyStopping min_delta=1e-3,
+    lightning.py:247-249).
+    """
+
+    patience: int = 8
+    min_delta: float = 1e-3
+    best: float = -math.inf
+    stale: int = 0
+
+    def update(self, metric: float) -> bool:
+        if metric > self.best + self.min_delta:
+            self.best = metric
+            self.stale = 0
+        else:
+            self.stale += 1
+        return self.stale >= self.patience
+
+    @property
+    def stopped(self) -> bool:
+        return self.stale >= self.patience
+
+
 @dataclasses.dataclass
 class Trial:
     trial_id: int
@@ -122,11 +232,15 @@ def tune(
     seed: int = 0,
     log_path: str | pathlib.Path | None = None,
     include_default_point: bool = True,
+    configs: list[dict[str, Any]] | None = None,
+    first_trial_id: int = 0,
 ) -> TuneResult:
-    """Successive halving over randomly sampled configs.
+    """Successive halving over sampled (or explicitly given) configs.
 
     `evaluate(config, resource)` runs one training with
     limit_train_batches=resource and returns the val metric dict.
+    Passing `configs` skips sampling — used by `tune_adaptive` to run
+    one SHA bracket over sampler proposals.
     """
     space = space or SearchSpace()
     rng = np.random.default_rng(seed)
@@ -142,18 +256,22 @@ def tune(
             time_budget_s is not None and time.time() - start > time_budget_s
         )
 
-    configs = []
-    if include_default_point:
-        configs.append(space.default_point())
-    while len(configs) < num_samples:
-        configs.append(space.sample(rng))
+    if configs is None:
+        configs = []
+        if include_default_point:
+            configs.append(space.default_point())
+        while len(configs) < num_samples:
+            configs.append(space.sample(rng))
+    else:
+        configs = [dict(c) for c in configs]
 
     trials: list[Trial] = []
     active = [
-        Trial(trial_id=i, config=config, resource=min_resource)
+        Trial(trial_id=first_trial_id + i, config=config,
+              resource=min_resource)
         for i, config in enumerate(configs)
     ]
-    next_id = len(active)
+    next_id = first_trial_id + len(active)
     resource = min_resource
     while active:
         for trial in active:
@@ -191,6 +309,74 @@ def tune(
         resource = min(max_resource, resource * reduction_factor)
     if log_file:
         log_file.close()
+    return TuneResult(trials=trials, metric_name=metric_name)
+
+
+def tune_adaptive(
+    evaluate: Callable[[dict[str, Any], float], dict[str, float]],
+    *,
+    space: SearchSpace | None = None,
+    total_samples: int = 32,
+    bracket_size: int = 8,
+    min_resource: float = 1 / 16,
+    max_resource: float = 1.0,
+    reduction_factor: int = 2,
+    time_budget_s: float | None = None,
+    metric_name: str = METRIC["name"],
+    seed: int = 0,
+    log_path: str | pathlib.Path | None = None,
+    sampler: AdaptiveSampler | None = None,
+    plateau: PlateauStopper | None = None,
+) -> TuneResult:
+    """Adaptive SHA: brackets of sampler proposals, stop on plateau.
+
+    Each bracket runs a synchronous SHA over `bracket_size` proposals;
+    every completed trial's metric feeds the sampler, and the plateau
+    stopper sees each trial in completion order — the experiment ends
+    when `plateau.patience` consecutive trials fail to improve the best
+    metric by `min_delta`, when `total_samples` fresh configs have been
+    proposed, or when the time budget runs out. Bracket 1 includes the
+    reference's default point (flaml.py:65-72).
+    """
+    space = space or SearchSpace()
+    sampler = sampler or AdaptiveSampler(space, seed=seed)
+    plateau = plateau or PlateauStopper()
+    start = time.time()
+    trials: list[Trial] = []
+    proposed = 0
+    stop = False
+    while proposed < total_samples and not stop:
+        n = min(bracket_size, total_samples - proposed)
+        configs = [space.default_point()] if proposed == 0 else []
+        while len(configs) < n:
+            configs.append(sampler.propose())
+        proposed += len(configs)
+        remaining = (
+            None
+            if time_budget_s is None
+            else max(0.0, time_budget_s - (time.time() - start))
+        )
+        result = tune(
+            evaluate,
+            space=space,
+            min_resource=min_resource,
+            max_resource=max_resource,
+            reduction_factor=reduction_factor,
+            time_budget_s=remaining,
+            metric_name=metric_name,
+            seed=seed,
+            log_path=log_path,
+            configs=configs,
+            first_trial_id=len(trials),
+        )
+        for trial in result.trials:
+            sampler.observe(trial.config, trial.metric)
+            metric = trial.metric if math.isfinite(trial.metric) else -math.inf
+            if plateau.update(metric):
+                stop = True
+        trials.extend(result.trials)
+        if time_budget_s is not None and time.time() - start > time_budget_s:
+            break
     return TuneResult(trials=trials, metric_name=metric_name)
 
 
@@ -232,6 +418,12 @@ def main() -> None:
     parser.add_argument("--time_budget_s", type=float, default=3600.0)
     parser.add_argument("--log_path", default="runs/tune/trials.jsonl")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--random", action="store_true",
+        help="use pure random sampling instead of the adaptive sampler",
+    )
+    parser.add_argument("--bracket_size", type=int, default=8)
+    parser.add_argument("--plateau_patience", type=int, default=8)
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -239,13 +431,24 @@ def main() -> None:
         base_data={"data_dir": args.data_dir},
         base_trainer={"log_dir": "runs/tune"},
     )
-    result = tune(
-        evaluate,
-        num_samples=args.num_samples,
-        time_budget_s=args.time_budget_s,
-        log_path=args.log_path,
-        seed=args.seed,
-    )
+    if args.random:
+        result = tune(
+            evaluate,
+            num_samples=args.num_samples,
+            time_budget_s=args.time_budget_s,
+            log_path=args.log_path,
+            seed=args.seed,
+        )
+    else:
+        result = tune_adaptive(
+            evaluate,
+            total_samples=args.num_samples,
+            bracket_size=args.bracket_size,
+            time_budget_s=args.time_budget_s,
+            log_path=args.log_path,
+            seed=args.seed,
+            plateau=PlateauStopper(patience=args.plateau_patience),
+        )
     best = result.best_trial
     if not math.isfinite(best.metric):
         msg = (
