@@ -318,3 +318,54 @@ class TestOffline:
         dm.setup()
         assert dm.num_items == 20
         assert dm.num_users == 10
+
+
+class TestProvenance:
+    def test_synthetic_corpus_is_not_labeled_real(self, data_dir):
+        from xfmr_rec_tpu.data.prepare import (
+            load_provenance,
+            record_provenance,
+        )
+
+        record = record_provenance(data_dir, source="synthetic")
+        assert record["source"] == "synthetic"
+        assert record["matches_real_ml1m"] is False
+        assert record["dataset_label"].startswith("synthetic-ML1M")
+        assert record["num_users"] == 30
+        # round-trips from disk
+        assert load_provenance(data_dir) == record
+
+    def test_prepare_data_records_provenance(self, tmp_path):
+        dm = RecDataModule(
+            DataConfig(
+                data_dir=str(tmp_path / "d"),
+                synthetic_users=12,
+                synthetic_movies=30,
+                synthetic_ratings=200,
+            )
+        )
+        dm.prepare_data()
+        assert dm.provenance is not None
+        assert dm.provenance["source"] == "synthetic"
+        assert dm.provenance["matches_real_ml1m"] is False
+        assert (tmp_path / "d" / "ml-1m" / "provenance.json").exists()
+
+    def test_real_fingerprint_matches_constants(self, tmp_path):
+        """A corpus forged to the real ML-1M fingerprint is detected."""
+        from xfmr_rec_tpu.data.prepare import _REAL_ML1M, record_provenance
+
+        raw = tmp_path / "ml-1m"
+        raw.mkdir(parents=True)
+        lines = [_REAL_ML1M["first_rating_line"]] + [
+            f"1::{i}::5::978300760" for i in range(_REAL_ML1M["num_ratings"] - 1)
+        ]
+        (raw / "ratings.dat").write_text("\n".join(lines) + "\n")
+        (raw / "users.dat").write_text(
+            "\n".join("u" for _ in range(_REAL_ML1M["num_users"])) + "\n"
+        )
+        (raw / "movies.dat").write_text(
+            "\n".join("m" for _ in range(_REAL_ML1M["num_movies"])) + "\n"
+        )
+        record = record_provenance(tmp_path, source="downloaded")
+        assert record["matches_real_ml1m"] is True
+        assert record["dataset_label"] == "MovieLens-1M"

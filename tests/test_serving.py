@@ -144,3 +144,70 @@ class TestHTTP:
     def test_model_meta(self, server):
         status, body = self._post(server, "model_name", {})
         assert status == 200 and body == "xfmr_rec_tpu"
+
+
+class TestMetricsEndpoint:
+    @pytest.fixture(scope="class")
+    def server(self, service):
+        server = make_server(service, port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        yield server
+        server.shutdown()
+
+    def _get(self, server, path):
+        port = server.server_address[1]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/{path}"
+        ) as resp:
+            return resp.status, resp.read().decode()
+
+    def test_healthz(self, server):
+        status, body = self._get(server, "healthz")
+        assert status == 200
+        assert json.loads(body) == {"status": "ok"}
+
+    def test_metrics_counters_move(self, server):
+        port = server.server_address[1]
+        for _ in range(3):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/model_name",
+                data=b"{}",
+                method="POST",
+            )
+            urllib.request.urlopen(req).read()
+        # one error request
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/item_id",
+            data=json.dumps({"item_id": 99999}).encode(),
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req).read()
+        except urllib.error.HTTPError:
+            pass
+        status, text = self._get(server, "metrics")
+        assert status == 200
+        assert (
+            'http_requests_total{endpoint="model_name",status="200"} 3'
+            in text
+        )
+        assert (
+            'http_requests_total{endpoint="item_id",status="404"} 1' in text
+        )
+        # histogram invariants: +Inf bucket == count, sum present
+        assert 'le="+Inf"} 3' in text
+        assert 'http_request_duration_seconds_sum{endpoint="model_name"}' in text
+
+    def test_metrics_histogram_cumulative(self):
+        from xfmr_rec_tpu.serving.service import RequestMetrics
+
+        metrics = RequestMetrics()
+        metrics.observe("x", 200, 0.0001)
+        metrics.observe("x", 200, 0.02)
+        metrics.observe("x", 200, 99.0)
+        text = metrics.render()
+        assert 'le="0.001"} 1' in text
+        assert 'le="0.05"} 2' in text
+        assert 'le="+Inf"} 3' in text
+        assert 'http_request_duration_seconds_count{endpoint="x"} 3' in text

@@ -353,3 +353,38 @@ class TestTrainerKnobs:
             timer.tick()
         assert timer.summary()["steps"] == 25
         assert timer.steps_per_second > 0
+
+
+class TestFullCohortPredict:
+    def test_predict_writes_all_users(self, dm, tmp_path_factory):
+        out = tmp_path_factory.mktemp("pred") / "predictions.parquet"
+        trainer = Trainer(
+            TrainConfig(**TINY_MODEL),
+            data=dm,
+            trainer_config=TrainerConfig(
+                log_dir=str(tmp_path_factory.mktemp("runs")),
+                encode_batch_size=64,
+            ),
+        )
+        trainer.setup()
+        frame = trainer.predict(out, top_k=5)
+        import pandas as pd
+
+        assert out.exists()
+        on_disk = pd.read_parquet(out)
+        # every is_predict user gets exactly one row of k recommendations
+        expected = dm.eval_users("predict")
+        assert len(frame) == len(on_disk) == len(expected)
+        assert set(frame["user_id"]) == {
+            int(dm.user_ids[u]) for u in expected
+        }
+        assert all(len(r) == 5 for r in frame["rec_item_ids"])
+        # train-history exclusions hold
+        upos_of_id = {int(u): p for p, u in enumerate(dm.user_ids)}
+        for _, row in frame.head(20).iterrows():
+            upos = upos_of_id[row["user_id"]]
+            hist_ids = {
+                int(dm.item_ids[p])
+                for p in dm._train_items_by_user.get(upos, [])
+            }
+            assert not (set(row["rec_item_ids"]) & hist_ids)

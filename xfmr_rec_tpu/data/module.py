@@ -117,6 +117,7 @@ class RecDataModule:
             )
         )
         self._ready = False
+        self.provenance: dict | None = None
 
     # ------------------------------------------------------------------
     def prepare_data(self, *, overwrite: bool = False) -> None:
@@ -135,9 +136,11 @@ class RecDataModule:
     def _prepare_data_locked(self, *, overwrite: bool = False) -> None:
         cfg = self.config
         raw_dir = pathlib.Path(cfg.data_dir, "ml-1m")
+        source = "preexisting"
         if not (raw_dir / "ratings.dat").exists():
             try:
                 prepare_mod.download_unpack_data(dest_dir=cfg.data_dir)
+                source = "downloaded"
             except RuntimeError:
                 if not cfg.synthetic_if_missing:
                     raise
@@ -153,6 +156,12 @@ class RecDataModule:
                     num_ratings=cfg.synthetic_ratings,
                     seed=cfg.seed,
                 )
+                source = "synthetic"
+        # verify real-vs-synthetic by fingerprint and record it alongside
+        # the raw data, so every run config carries honest dataset labeling
+        self.provenance = prepare_mod.record_provenance(
+            cfg.data_dir, source=source
+        )
         prepare_mod.prepare_movielens(cfg.data_dir, overwrite=overwrite)
 
     # ------------------------------------------------------------------
@@ -162,6 +171,8 @@ class RecDataModule:
             return
         cfg = self.config
         base = pathlib.Path(cfg.data_dir, "ml-1m")
+        if self.provenance is None:
+            self.provenance = prepare_mod.load_provenance(cfg.data_dir)
         movies = pd.read_parquet(base / "movies.parquet")
         users = pd.read_parquet(base / "users.parquet")
         ratings = pd.read_parquet(base / "ratings.parquet")

@@ -321,6 +321,71 @@ def process_users(
     return users
 
 
+# Fingerprint of the real GroupLens ML-1M release, used to verify (not
+# assume) provenance: exact row counts and the first ratings line.
+_REAL_ML1M = {
+    "num_ratings": 1_000_209,
+    "num_users": 6_040,
+    "num_movies": 3_883,
+    "first_rating_line": "1::1193::5::978300760",
+}
+
+
+def record_provenance(src_dir: str | pathlib.Path, source: str) -> dict:
+    """Verify and record where the raw corpus came from.
+
+    Writes `ml-1m/provenance.json` with the declared ``source``
+    ("downloaded" | "synthetic" | "preexisting"), the raw row counts, and
+    ``matches_real_ml1m`` — a *measured* check against the real GroupLens
+    ML-1M fingerprint, so no run can mislabel a synthetic corpus as the
+    real dataset (or vice versa). Returns the record.
+    """
+    raw_dir = pathlib.Path(src_dir, "ml-1m")
+
+    def _count_lines(name: str) -> int:
+        path = raw_dir / name
+        if not path.exists():
+            return 0
+        with path.open("rb") as fh:
+            return sum(1 for _ in fh)
+
+    first_line = ""
+    ratings_path = raw_dir / "ratings.dat"
+    if ratings_path.exists():
+        with ratings_path.open(encoding="iso-8859-1") as fh:
+            first_line = fh.readline().strip()
+    counts = {
+        "num_ratings": _count_lines("ratings.dat"),
+        "num_users": _count_lines("users.dat"),
+        "num_movies": _count_lines("movies.dat"),
+    }
+    matches = (
+        counts["num_ratings"] == _REAL_ML1M["num_ratings"]
+        and counts["num_users"] == _REAL_ML1M["num_users"]
+        and counts["num_movies"] == _REAL_ML1M["num_movies"]
+        and first_line == _REAL_ML1M["first_rating_line"]
+    )
+    record = {
+        "source": source,
+        **counts,
+        "matches_real_ml1m": matches,
+        "dataset_label": (
+            "MovieLens-1M" if matches else f"synthetic-ML1M ({source})"
+        ),
+    }
+    (raw_dir / "provenance.json").write_text(json.dumps(record, indent=2))
+    logger.info("data provenance: %s", record)
+    return record
+
+
+def load_provenance(src_dir: str | pathlib.Path) -> dict:
+    """Read (or reconstruct) the corpus provenance record."""
+    path = pathlib.Path(src_dir, "ml-1m", "provenance.json")
+    if path.exists():
+        return json.loads(path.read_text())
+    return record_provenance(src_dir, source="preexisting")
+
+
 def prepare_movielens(
     src_dir: str = DATA_DIR, *, overwrite: bool = False
 ) -> pd.DataFrame:

@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import logging
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
@@ -141,6 +142,83 @@ class RecService:
 
 
 # ---------------------------------------------------------------------------
+# request observability
+# ---------------------------------------------------------------------------
+class RequestMetrics:
+    """Per-endpoint request counters + latency histograms.
+
+    Rendered in the Prometheus text exposition format at GET /metrics —
+    the TPU-framework stand-in for the reference's BentoML prometheus
+    metrics (enabled by default in serving, disabled only in tests:
+    /root/reference/xfmr_rec/bentoml/prepare.py:66).
+    """
+
+    BUCKETS = (0.001, 0.005, 0.01, 0.05, 0.1, 0.5, 1.0, 5.0)
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        # (endpoint, status) -> count
+        self._requests: dict[tuple[str, int], int] = {}
+        # endpoint -> [per-bucket counts..., +inf count]
+        self._buckets: dict[str, list[int]] = {}
+        self._sum: dict[str, float] = {}
+
+    def observe(self, endpoint: str, status: int, seconds: float) -> None:
+        with self._lock:
+            key = (endpoint, status)
+            self._requests[key] = self._requests.get(key, 0) + 1
+            buckets = self._buckets.setdefault(
+                endpoint, [0] * (len(self.BUCKETS) + 1)
+            )
+            for i, bound in enumerate(self.BUCKETS):
+                if seconds <= bound:
+                    buckets[i] += 1
+                    break
+            else:
+                buckets[-1] += 1
+            self._sum[endpoint] = self._sum.get(endpoint, 0.0) + seconds
+
+    def render(self) -> str:
+        """Prometheus text format (counters + cumulative histograms)."""
+        lines = [
+            "# HELP http_requests_total Requests served, by endpoint/status.",
+            "# TYPE http_requests_total counter",
+        ]
+        with self._lock:
+            for (endpoint, status), count in sorted(self._requests.items()):
+                lines.append(
+                    f'http_requests_total{{endpoint="{endpoint}",'
+                    f'status="{status}"}} {count}'
+                )
+            lines += [
+                "# HELP http_request_duration_seconds Request latency.",
+                "# TYPE http_request_duration_seconds histogram",
+            ]
+            for endpoint, buckets in sorted(self._buckets.items()):
+                cumulative = 0
+                for bound, count in zip(self.BUCKETS, buckets):
+                    cumulative += count
+                    lines.append(
+                        f'http_request_duration_seconds_bucket{{endpoint='
+                        f'"{endpoint}",le="{bound}"}} {cumulative}'
+                    )
+                cumulative += buckets[-1]
+                lines.append(
+                    f'http_request_duration_seconds_bucket{{endpoint='
+                    f'"{endpoint}",le="+Inf"}} {cumulative}'
+                )
+                lines.append(
+                    f'http_request_duration_seconds_sum{{endpoint='
+                    f'"{endpoint}"}} {self._sum[endpoint]:.6f}'
+                )
+                lines.append(
+                    f'http_request_duration_seconds_count{{endpoint='
+                    f'"{endpoint}"}} {cumulative}'
+                )
+        return "\n".join(lines) + "\n"
+
+
+# ---------------------------------------------------------------------------
 # JSON-over-HTTP transport
 # ---------------------------------------------------------------------------
 _ENDPOINTS = {
@@ -211,22 +289,48 @@ def _serialize(result: Any) -> Any:
 
 class _Handler(BaseHTTPRequestHandler):
     service: RecService  # set by make_server
+    metrics: RequestMetrics  # set by make_server
 
     def do_POST(self) -> None:  # noqa: N802 — http.server API
         length = int(self.headers.get("Content-Length", 0))
         body = self.rfile.read(length) if length else b"{}"
         endpoint = self.path.strip("/")
+        start = time.perf_counter()
+        status = 200
         try:
             payload = json.loads(body or b"{}")
             result = dispatch(self.service, endpoint, payload)
             self._reply(200, result)
         except KeyError:
+            status = 404
             self._reply(404, {"error": f"unknown endpoint {endpoint}"})
         except NotFoundError as exc:
+            status = 404
             self._reply(404, {"error": str(exc)})
         except Exception as exc:  # noqa: BLE001 — error boundary
+            status = 500
             logger.exception("error handling %s", endpoint)
             self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
+        finally:
+            self.metrics.observe(
+                endpoint, status, time.perf_counter() - start
+            )
+
+    def do_GET(self) -> None:  # noqa: N802 — http.server API
+        path = self.path.split("?", 1)[0].strip("/")
+        if path == "metrics":
+            data = self.metrics.render().encode()
+            self.send_response(200)
+            self.send_header(
+                "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+            )
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+        elif path in ("healthz", "livez", "readyz"):
+            self._reply(200, {"status": "ok"})
+        else:
+            self._reply(404, {"error": f"unknown endpoint {path}"})
 
     def _reply(self, status: int, payload: Any) -> None:
         data = json.dumps(payload).encode()
@@ -243,7 +347,11 @@ class _Handler(BaseHTTPRequestHandler):
 def make_server(
     service: RecService, host: str = "127.0.0.1", port: int = 8000
 ) -> ThreadingHTTPServer:
-    handler = type("BoundHandler", (_Handler,), {"service": service})
+    handler = type(
+        "BoundHandler",
+        (_Handler,),
+        {"service": service, "metrics": RequestMetrics()},
+    )
     return ThreadingHTTPServer((host, port), handler)
 
 

@@ -120,7 +120,15 @@ def main(argv: list[str] | None = None) -> dict[str, float] | None:
     )
     parser.add_argument("--ckpt", help="checkpoint path/name to restore")
     parser.add_argument(
-        "--user_id", type=int, help="(predict) recommend for this user id"
+        "--user_id",
+        type=int,
+        help="(predict) recommend for this one user id; omit to run the "
+        "full is_predict cohort to parquet",
+    )
+    parser.add_argument(
+        "--output",
+        help="(predict) parquet path for full-cohort predictions "
+        "(default <run log dir>/predictions.parquet)",
     )
     parser.add_argument(
         "--save_artifact", help="(fit) write serving artifact here after fit"
@@ -159,9 +167,17 @@ def main(argv: list[str] | None = None) -> dict[str, float] | None:
         metrics = trainer.test()
         logger.info("test: %s", metrics)
         return metrics
-    # predict
+    # predict: full is_predict cohort to parquet (reference
+    # data/lightning.py:469-471), or one user when --user_id is given
+    if args.user_id is None:
+        output = args.output or str(
+            trainer.logger.log_dir / "predictions.parquet"
+        )
+        frame = trainer.predict(output)
+        logger.info("predict: %d users -> %s", len(frame), output)
+        return None
     trainer.build_index()
-    user_id = args.user_id if args.user_id is not None else 1
+    user_id = args.user_id
     upos_list = [
         i for i, uid in enumerate(trainer.data.user_ids) if uid == user_id
     ]

@@ -165,6 +165,9 @@ class Trainer:
                 "model": self.config.model_dump(),
                 "data": self.data.config.model_dump(),
                 "trainer": dataclasses.asdict(self.trainer_config),
+                # measured real-vs-synthetic fingerprint (data/prepare.py
+                # record_provenance) so run records label the corpus honestly
+                "dataset": self.data.provenance or {},
             }
         )
 
@@ -319,9 +322,10 @@ class Trainer:
 
     def _sharded_search(
         self, users: jnp.ndarray, batch: dict, top_k: int
-    ) -> np.ndarray:
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Eval top-k over the model-axis-sharded corpus (exact, merged
-        over ICI). Zero-embedding pad rows are masked via exclusions."""
+        over ICI). Zero-embedding pad rows are masked via exclusions.
+        Returns (scores, item_ids)."""
         from xfmr_rec_tpu.parallel.retrieval import sharded_topk
 
         excl = np.asarray(batch["exclude_positions"], dtype=np.int32)
@@ -334,7 +338,7 @@ class Trainer:
                 (len(excl), self._sharded_corpus_pad),
             )
             excl = np.concatenate([excl, pad_cols], axis=1)
-        _, positions = sharded_topk(
+        values, positions = sharded_topk(
             jnp.asarray(users, dtype=jnp.float32),
             self._sharded_corpus,
             top_k,
@@ -345,7 +349,7 @@ class Trainer:
         positions = np.minimum(
             np.asarray(positions), self.data.num_items - 1
         )
-        return self.data.item_ids[positions]
+        return np.asarray(values), self.data.item_ids[positions]
 
     def _eval_retrieval(self, subset: str) -> dict[str, float]:
         index = self.build_index()
@@ -358,7 +362,7 @@ class Trainer:
                 break
             users = self._encode_tokens(batch["user_tokens"])
             if self._sharded_corpus is not None:
-                pred_ids = self._sharded_search(users, batch, top_k)
+                _, pred_ids = self._sharded_search(users, batch, top_k)
             else:
                 _, pred_ids = index.search(
                     users,
@@ -414,6 +418,63 @@ class Trainer:
         metrics.update(self._eval_losses("test"))
         self.logger.log_metrics(metrics, self.global_step)
         return metrics
+
+    def predict(
+        self,
+        output_path: str | pathlib.Path | None = None,
+        *,
+        top_k: int | None = None,
+    ):
+        """Full-cohort predict: top-k recommendations for every is_predict
+        user, written to parquet (the reference's predict stage runs every
+        predict-dataloader user through recommend —
+        /root/reference/xfmr_rec/data/lightning.py:469-471,
+        lightning.py:204-206). Returns the predictions DataFrame.
+
+        Exclusions match `recommend_with_user` semantics: the user's train
+        history (eval_batches already carries it as exclude_positions).
+        """
+        import pandas as pd
+
+        self.setup()
+        self.build_index()
+        top_k = top_k or self.config.top_k
+        user_ids: list[int] = []
+        rec_ids: list[np.ndarray] = []
+        rec_scores: list[np.ndarray] = []
+        for batch in self.data.eval_batches("predict"):
+            users = self._encode_tokens(batch["user_tokens"])
+            if self._sharded_corpus is not None:
+                scores, pred_ids = self._sharded_search(users, batch, top_k)
+            else:
+                scores, pred_ids = self.index.search(
+                    users,
+                    top_k=top_k,
+                    exclude_positions=batch["exclude_positions"],
+                )
+                scores = np.asarray(scores)
+            valid = np.asarray(batch["valid"])
+            upos = np.asarray(batch["user_pos"])[valid]
+            user_ids.extend(int(u) for u in self.data.user_ids[upos])
+            rec_ids.extend(np.asarray(pred_ids)[valid])
+            rec_scores.extend(np.asarray(scores)[valid])
+        frame = pd.DataFrame(
+            {
+                "user_id": user_ids,
+                "rec_item_ids": [row.tolist() for row in rec_ids],
+                "rec_scores": [row.tolist() for row in rec_scores],
+            }
+        )
+        if output_path is not None:
+            output_path = pathlib.Path(output_path)
+            output_path.parent.mkdir(parents=True, exist_ok=True)
+            frame.to_parquet(output_path, index=False)
+            logger.info(
+                "predictions for %d users written to %s",
+                len(frame),
+                output_path,
+            )
+        return frame
 
     # ------------------------------------------------------------------
     # inference
