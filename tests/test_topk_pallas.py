@@ -431,3 +431,141 @@ class TestTwoSlotScan:
         assert np.asarray(exact2).sum() >= np.asarray(exact1).sum()
         # k=20, L=128: triples are rare, pairs are not
         assert np.asarray(exact2).mean() > 0.5
+
+
+class TestPackedScan:
+    """Packed-key (turbo) scan: key order == quantized score order."""
+
+    def _normed(self, b, n, d, seed=0):
+        rng = np.random.default_rng(seed)
+        q = rng.normal(size=(b, d)).astype(np.float32)
+        c = rng.normal(size=(n, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        return q, c
+
+    def test_certified_rows_match_dense(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_certified_topk
+
+        q, c = self._normed(B, N, D)
+        scores, pos, exact = packed_certified_topk(
+            q, c, K, score_bound=1.0, **TILE
+        )
+        dense = q @ c.T
+        exact = np.asarray(exact)
+        assert exact.mean() > 0.5  # plenty of lanes for k=10
+        quantum = 2.0 ** (-23 + 2) * 4.0  # idx_bits=2 (4 tiles), bound 1
+        for b in np.flatnonzero(exact):
+            want = np.sort(dense[b])[-K:][::-1]
+            got = np.sort(np.asarray(scores[b]))[::-1]
+            # certified = exact top-k of the quantized order: each
+            # selected score within one quantum of the true k-th set
+            np.testing.assert_allclose(got, want, atol=quantum, rtol=1e-5)
+
+    def test_positions_consistent_with_scores(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_certified_topk
+
+        q, c = self._normed(B, N, D, seed=1)
+        scores, pos, _ = packed_certified_topk(
+            q, c, K, score_bound=1.0, **TILE
+        )
+        dense = q @ c.T
+        for b in range(B):
+            np.testing.assert_allclose(
+                np.asarray(scores[b]),
+                dense[b][np.asarray(pos[b])],
+                rtol=1e-5,
+                atol=1e-6,
+            )
+
+    def test_certificate_sound_under_forced_collisions(self):
+        """Plant top items in one lane: uncertified rows flagged, certified
+        rows provably exact (same adversarial setup as the f32 path)."""
+        from xfmr_rec_tpu.ops.topk_pallas import packed_certified_topk
+
+        rng = np.random.default_rng(3)
+        d = 16
+        n, ct = 256, 64
+        c = rng.normal(size=(n, d)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        # items 0, 64, 128, 192 share lane 0 across the 4 tiles; make them
+        # all near-parallel to the query so >2 top-K items collide
+        q = rng.normal(size=(8, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        for j in range(4):
+            c[j * ct] = q[0] * (1 - 1e-4 * j)
+            c[j * ct] /= np.linalg.norm(c[j * ct])
+        scores, pos, exact = packed_certified_topk(
+            q, c, 3, score_bound=1.0,
+            batch_tile=8, corpus_tile=ct, interpret=True,
+        )
+        dense = q @ c.T
+        assert not bool(exact[0])  # row 0 must fail certification
+        for b in np.flatnonzero(np.asarray(exact)):
+            want = set(np.argsort(-dense[b])[:3].tolist())
+            got = set(np.asarray(pos[b]).tolist())
+            # allow quantum-tie swaps: compare score sets instead
+            ws = np.sort(dense[b][sorted(want)])
+            gs = np.sort(dense[b][sorted(got)])
+            np.testing.assert_allclose(gs, ws, atol=2e-5)
+
+    def test_true_num_items_masks_padding(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_certified_topk
+
+        q, c = self._normed(B, N, D, seed=4)
+        c_pad = np.concatenate([c, np.zeros((128, D), np.float32)])
+        scores, pos, exact = packed_certified_topk(
+            q, c_pad, K, score_bound=1.0, true_num_items=N, **TILE
+        )
+        assert np.asarray(pos).max() < N
+
+    def test_lane_shuffle_positions_consistent(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_certified_parts
+
+        q, c = self._normed(B, N, D, seed=5)
+        keys, pos, dmax = packed_certified_parts(
+            q, c, K, score_bound=1.0, lane_shuffle=1, **TILE
+        )
+        from xfmr_rec_tpu.ops.topk_pallas import exact_scores_at
+
+        got = np.asarray(exact_scores_at(q, c, pos))
+        dense = q @ c.T
+        for b in range(B):
+            np.testing.assert_allclose(
+                got[b], dense[b][np.asarray(pos[b])], rtol=1e-5
+            )
+            # keys decode to scores within the quantum
+            # (keys are monotone in score: verify sortedness)
+            assert (np.diff(np.asarray(keys[b])) <= 0).all()
+
+    def test_int8_scales_path(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_certified_topk
+
+        q, c = self._normed(B, N, D, seed=6)
+        scale = np.abs(c).max(axis=1) / 127.0
+        c_q = np.clip(np.round(c / scale[:, None]), -127, 127).astype(
+            np.int8
+        )
+        scores, pos, exact = packed_certified_topk(
+            q, c_q, K, scales=scale, score_bound=1.0, **TILE
+        )
+        dense = q @ (c_q.astype(np.float32) * scale[:, None]).T
+        for b in np.flatnonzero(np.asarray(exact)):
+            want = np.sort(dense[b])[-K:][::-1]
+            got = np.sort(np.asarray(scores[b]))[::-1]
+            np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+    def test_decoded_scores_floor_within_quantum(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_certified_topk
+
+        q, c = self._normed(B, N, D, seed=7)
+        scores, pos, _ = packed_certified_topk(
+            q, c, K, score_bound=1.0, recompute_scores=False, **TILE
+        )
+        dense = q @ c.T
+        quantum = 2.0 ** (-23 + 2) * 4.0  # idx_bits=2, bound 1.0
+        for b in range(B):
+            true = dense[b][np.asarray(pos[b])]
+            got = np.asarray(scores[b])
+            assert (got <= true + 1e-6).all()
+            assert (true - got <= quantum + 1e-6).all()
