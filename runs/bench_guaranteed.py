@@ -1,13 +1,16 @@
 """Guaranteed-exact search throughput at bench scale (1M x 2048 x k=100).
 
 Times RetrievalIndex.search_certified end-to-end (pass-1 certified scan,
-shuffled-lane retry, dense fallback, host merge) and verifies every row's
-score multiset against the dense reference.
+shuffled-lane retry, dense fallback, host merge) for both the f32 and
+the packed-key methods, and verifies row exactness against the dense
+reference (score multiset for f32; membership-within-quantum and
+decoded-floor bounds for packed).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -25,6 +28,7 @@ def main() -> None:
     from xfmr_rec_tpu.index import RetrievalIndex
     from xfmr_rec_tpu.index.mips import exact_topk
 
+    methods = sys.argv[1:] or ["f32", "packed"]
     rng = np.random.default_rng(0)
     corpus = rng.normal(size=(CORPUS_SIZE, DIM)).astype(np.float32)
     corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
@@ -35,19 +39,7 @@ def main() -> None:
         corpus, np.arange(CORPUS_SIZE), dtype="bfloat16", method="scan"
     )
 
-    # warm all three stages' compiles
-    t0 = time.perf_counter()
-    scores, ids = idx.search_certified(queries, top_k=TOP_K)
-    print(f"first call (compiles): {time.perf_counter() - t0:.1f}s", flush=True)
-
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        scores, ids = idx.search_certified(queries, top_k=TOP_K)
-    dt = (time.perf_counter() - t0) / ITERS
-    qps = BATCH / dt
-    print(json.dumps(idx.last_certified_stats), flush=True)
-
-    # verify exactness (score multiset) against the dense reference
+    # dense reference for the exactness check
     ref_fn = jax.jit(
         lambda q: exact_topk(q, idx.corpus, TOP_K, chunk_size=131072)
     )
@@ -57,22 +49,63 @@ def main() -> None:
         ref_fn(jnp.asarray(queries, dtype=idx.corpus.dtype))
     )
     ref_vals = np.asarray(ref_vals)
-    mismatches = int(
-        sum(
-            not np.array_equal(np.sort(scores[b]), np.sort(ref_vals[b]))
-            for b in range(BATCH)
+
+    for method in methods:
+        t0 = time.perf_counter()
+        scores, ids = idx.search_certified(
+            queries, top_k=TOP_K, method=method
         )
-    )
-    print(
-        json.dumps(
-            {
-                "ms": round(dt * 1e3, 2),
-                "qps": round(qps),
-                "exact_mismatches": mismatches,
-            }
-        ),
-        flush=True,
-    )
+        print(
+            f"[{method}] first call (compiles): "
+            f"{time.perf_counter() - t0:.1f}s",
+            flush=True,
+        )
+
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            scores, ids = idx.search_certified(
+                queries, top_k=TOP_K, method=method
+            )
+        dt = (time.perf_counter() - t0) / ITERS
+        qps = BATCH / dt
+
+        if method == "f32":
+            # exact contract: score multiset equals the dense reference
+            mismatches = int(
+                sum(
+                    not np.array_equal(
+                        np.sort(scores[b]), np.sort(ref_vals[b])
+                    )
+                    for b in range(BATCH)
+                )
+            )
+        else:
+            # packed contract: every decoded score is a floor within one
+            # key quantum of a true score >= the dense k-th value minus
+            # the quantum
+            # score quantum = bound * 2^(idx_bits-21): idx_bits=9 at
+            # 512 corpus tiles, bound ~1.05 for unit-norm rows
+            quantum = 1.05 * 2.0 ** (9 - 21)
+            kth = ref_vals[:, -1]
+            mismatches = int(
+                sum(
+                    (scores[b] < kth[b] - quantum).any()
+                    or (scores[b] > ref_vals[b][0] + 1e-6).any()
+                    for b in range(BATCH)
+                )
+            )
+        print(
+            json.dumps(
+                {
+                    "method": method,
+                    **idx.last_certified_stats,
+                    "ms": round(dt * 1e3, 2),
+                    "qps": round(qps),
+                    "contract_violations": mismatches,
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -231,6 +231,47 @@ class TestTuneAdaptive:
         )
         assert sorted(set(calls)) == [0.25, 0.5, 1.0]
 
+    def test_warm_start_proposes_near_prior_elite(self, tmp_path):
+        """warm_start_sampler: seeded observations skip the random
+        startup phase; proposals perturb the prior run's elite."""
+        import json
+
+        from xfmr_rec_tpu.tuning.hpo import (
+            AdaptiveSampler,
+            SearchSpace,
+            warm_start_sampler,
+        )
+
+        space = SearchSpace()
+        elite = {
+            "train_loss": "PairwiseHingeLoss",
+            "num_negatives": 8,
+            "sigma": 7.9,
+            "margin": 0.73,
+            "learning_rate": 7e-4,
+        }
+        log = tmp_path / "trials.jsonl"
+        rows = [{"config": elite, "metric": 0.05}]
+        rng = np.random.default_rng(0)
+        for _ in range(15):
+            rows.append({"config": space.sample(rng), "metric": 0.01})
+        rows.append({"config": space.sample(rng), "metric": None})  # failed
+        log.write_text("".join(json.dumps(r) + "\n" for r in rows))
+
+        # elite_frac tiny -> n_elite=1: every proposal perturbs the
+        # prior run's best config (no random startup phase re-paid)
+        sampler = AdaptiveSampler(
+            space, seed=3, explore=0.0, elite_frac=0.01
+        )
+        loaded = warm_start_sampler(sampler, log)
+        assert loaded == 16  # the null-metric row is skipped
+        for _ in range(8):
+            prop = sampler.propose()
+            # lr/sigma jitter lognormally around the elite; num_negatives
+            # moves at most one power of two
+            assert abs(np.log(prop["learning_rate"] / 7e-4)) < 2.5
+            assert prop["num_negatives"] in (4, 8, 16)
+
     def test_real_trainer_smoke(self, tmp_path):
         """One real trial through make_trainer_evaluator."""
         from xfmr_rec_tpu.data.prepare import prepare_movielens

@@ -134,6 +134,107 @@ class TestInt8Index:
         )
 
 
+class TestPackedCertified:
+    """search_certified(method='packed'): key-space escalation."""
+
+    def _data(self, n=512, d=16, b=16, seed=31):
+        rng = np.random.default_rng(seed)
+        corpus = rng.normal(size=(n, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+        queries = rng.normal(size=(b, d)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+        return corpus, queries
+
+    def test_matches_dense_top_k_decoded(self):
+        corpus, queries = self._data()
+        idx = RetrievalIndex(
+            corpus, np.arange(1, 513), dtype="float32", method="scan"
+        )
+        scores, ids = idx.search_certified(queries, top_k=7, method="packed")
+        ref = queries @ corpus.T
+        for b in range(queries.shape[0]):
+            pos = ids[b] - 1
+            # decoded scores: quantum floor of the true score
+            np.testing.assert_allclose(scores[b], ref[b][pos], atol=1e-4)
+            assert (scores[b] <= ref[b][pos] + 1e-6).all()
+            assert (np.diff(scores[b]) <= 1e-6).all()
+            # score multiset == dense top-k within the key quantum
+            want = np.sort(ref[b])[::-1][:7]
+            np.testing.assert_allclose(scores[b], want, atol=1e-4)
+
+    def test_matches_dense_top_k_exact_scores(self):
+        corpus, queries = self._data(seed=32)
+        idx = RetrievalIndex(
+            corpus, np.arange(1, 513), dtype="float32", method="scan"
+        )
+        scores, ids = idx.search_certified(
+            queries, top_k=7, method="packed", exact_scores=True
+        )
+        ref = queries @ corpus.T
+        for b in range(queries.shape[0]):
+            pos = ids[b] - 1
+            # exact f32 scores for the returned items
+            np.testing.assert_allclose(
+                scores[b], ref[b][pos], rtol=1e-5, atol=1e-5
+            )
+            assert (np.diff(scores[b]) <= 1e-6).all()
+            want = np.sort(ref[b])[::-1][:7]
+            np.testing.assert_allclose(scores[b], want, atol=1e-4)
+
+    def test_planted_collisions_still_exact(self):
+        """Force identity-lane collisions so retries (and possibly the
+        dense fallback) run; result must still match dense."""
+        rng = np.random.default_rng(33)
+        corpus = rng.normal(size=(256, 8)).astype(np.float32) * 0.01
+        queries = rng.normal(size=(8, 8)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+        for i in range(8):
+            corpus[i] = queries[i] * 0.9
+            corpus[i + 128] = queries[i] * 0.8  # same lane at ct=128
+        idx = RetrievalIndex(
+            corpus, np.arange(1, 257), dtype="float32", method="scan"
+        )
+        scores, ids = idx.search_certified(queries, top_k=5, method="packed")
+        ref = queries @ corpus.T
+        for b in range(8):
+            want = np.sort(ref[b])[::-1][:5]
+            np.testing.assert_allclose(scores[b], want, atol=1e-4)
+
+    def test_int8_packed_matches_dequantized_oracle(self):
+        corpus, queries = self._data(n=256, b=8, seed=35)
+        i8 = RetrievalIndex(corpus, np.arange(1, 257), dtype="int8")
+        scores, ids = i8.search_certified(queries, top_k=5, method="packed")
+        dequant = (
+            np.asarray(i8.corpus, dtype=np.float32)
+            * np.asarray(i8._scales)[0][:, None]
+        )
+        ref = queries @ dequant.T
+        for b in range(8):
+            want = np.sort(ref[b])[::-1][:5]
+            np.testing.assert_allclose(scores[b], want, rtol=2e-2)
+
+    def test_unnormalized_embeddings_bound(self):
+        """Non-unit norms exercise the max-norm score bound."""
+        rng = np.random.default_rng(37)
+        corpus = rng.normal(size=(256, 8)).astype(np.float32) * 3.0
+        queries = rng.normal(size=(4, 8)).astype(np.float32) * 2.0
+        idx = RetrievalIndex(
+            corpus, np.arange(1, 257), dtype="float32", method="scan"
+        )
+        scores, ids = idx.search_certified(queries, top_k=5, method="packed")
+        ref = queries @ corpus.T
+        for b in range(4):
+            want = np.sort(ref[b])[::-1][:5]
+            # bf16 queries/corpus: ~0.8% relative matmul error at d=8
+            np.testing.assert_allclose(scores[b], want, rtol=3e-2)
+
+    def test_unknown_method_raises(self):
+        corpus, queries = self._data(n=64, b=2)
+        idx = RetrievalIndex(corpus, np.arange(1, 65), dtype="float32")
+        with pytest.raises(ValueError, match="method"):
+            idx.search_certified(queries, top_k=3, method="nope")
+
+
 class TestTextSearch:
     def _index(self):
         corpus = make_corpus(4, 8)

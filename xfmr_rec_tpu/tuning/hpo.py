@@ -327,6 +327,7 @@ def tune_adaptive(
     log_path: str | pathlib.Path | None = None,
     sampler: AdaptiveSampler | None = None,
     plateau: PlateauStopper | None = None,
+    include_default_point: bool = True,
 ) -> TuneResult:
     """Adaptive SHA: brackets of sampler proposals, stop on plateau.
 
@@ -336,7 +337,10 @@ def tune_adaptive(
     when `plateau.patience` consecutive trials fail to improve the best
     metric by `min_delta`, when `total_samples` fresh configs have been
     proposed, or when the time budget runs out. Bracket 1 includes the
-    reference's default point (flaml.py:65-72).
+    reference's default point (flaml.py:65-72) unless
+    `include_default_point=False` (a warm-started sampler proposes
+    elite perturbations from the first trial, so the default point
+    would waste a slot).
     """
     space = space or SearchSpace()
     sampler = sampler or AdaptiveSampler(space, seed=seed)
@@ -347,7 +351,11 @@ def tune_adaptive(
     stop = False
     while proposed < total_samples and not stop:
         n = min(bracket_size, total_samples - proposed)
-        configs = [space.default_point()] if proposed == 0 else []
+        configs = (
+            [space.default_point()]
+            if proposed == 0 and include_default_point
+            else []
+        )
         while len(configs) < n:
             configs.append(sampler.propose())
         proposed += len(configs)
@@ -378,6 +386,31 @@ def tune_adaptive(
         if time_budget_s is not None and time.time() - start > time_budget_s:
             break
     return TuneResult(trials=trials, metric_name=metric_name)
+
+
+def warm_start_sampler(
+    sampler: AdaptiveSampler, log_path: str | pathlib.Path
+) -> int:
+    """Feed a previous run's trials.jsonl into the sampler (transfer HPO).
+
+    Equivalent of Ray Tune's `points_to_evaluate`/searcher restore and
+    FLAML's warm-start: prior (config, metric) observations seed the
+    elite set, so a new experiment proposes perturbations of known-good
+    configs from trial 1 instead of re-paying the random startup phase.
+    Returns the number of observations loaded.
+    """
+    loaded = 0
+    with pathlib.Path(log_path).open() as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            metric = row.get("metric")
+            if isinstance(metric, (int, float)) and math.isfinite(metric):
+                sampler.observe(row["config"], float(metric))
+                loaded += 1
+    return loaded
 
 
 def make_trainer_evaluator(
@@ -424,6 +457,11 @@ def main() -> None:
     )
     parser.add_argument("--bracket_size", type=int, default=8)
     parser.add_argument("--plateau_patience", type=int, default=8)
+    parser.add_argument(
+        "--warm_start",
+        help="trials.jsonl of a previous run to seed the adaptive sampler "
+        "(transfer HPO; the default point is then skipped)",
+    )
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -440,6 +478,13 @@ def main() -> None:
             seed=args.seed,
         )
     else:
+        sampler = AdaptiveSampler(SearchSpace(), seed=args.seed)
+        warm = 0
+        if args.warm_start:
+            warm = warm_start_sampler(sampler, args.warm_start)
+            logger.info(
+                "warm start: %d observations from %s", warm, args.warm_start
+            )
         result = tune_adaptive(
             evaluate,
             total_samples=args.num_samples,
@@ -447,7 +492,9 @@ def main() -> None:
             time_budget_s=args.time_budget_s,
             log_path=args.log_path,
             seed=args.seed,
+            sampler=sampler,
             plateau=PlateauStopper(patience=args.plateau_patience),
+            include_default_point=warm == 0,
         )
     best = result.best_trial
     if not math.isfinite(best.metric):
