@@ -161,3 +161,72 @@ class TestShardedCertifiedTopK:
         for b in np.nonzero(np.asarray(exact))[0]:
             want = set(np.argsort(-ref[b])[:5].tolist())
             assert set(np.asarray(positions[b]).tolist()) == want
+
+
+class TestShardedPackedCertifiedTopK:
+    def _normed(self, n, d, b, seed):
+        rng = np.random.default_rng(seed)
+        corpus = rng.normal(size=(n, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+        queries = rng.normal(size=(b, d)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+        return corpus, queries
+
+    def test_certified_rows_match_dense_at_quantum(self):
+        from xfmr_rec_tpu.parallel import sharded_packed_certified_topk
+
+        mesh = create_mesh(8, model_parallel=4)
+        corpus, queries = self._normed(512, 16, 8, seed=11)
+        corpus_sharded = jax.device_put(
+            corpus, NamedSharding(mesh, P("model", None))
+        )
+        scores, positions, exact = sharded_packed_certified_topk(
+            queries, corpus_sharded, 10, mesh,
+            score_bound=1.0, batch_tile=8, corpus_tile=128,
+        )
+        exact = np.asarray(exact)
+        assert exact.any()
+        ref = queries @ corpus.T
+        for b in np.nonzero(exact)[0]:
+            # decoded scores: floors of the dense top-10 within a quantum
+            want = np.sort(ref[b])[::-1][:10]
+            got = np.sort(np.asarray(scores[b]))[::-1]
+            np.testing.assert_allclose(got, want, atol=1e-4)
+            # decoded <= true score at the returned positions
+            true = ref[b][np.asarray(positions[b])]
+            assert (np.asarray(scores[b]) <= true + 1e-6).all()
+
+    def test_shard_padding_and_positions_global(self):
+        from xfmr_rec_tpu.parallel import sharded_packed_certified_topk
+
+        mesh = create_mesh(8, model_parallel=2)
+        corpus, queries = self._normed(96, 8, 4, seed=12)
+        scores, positions, exact = sharded_packed_certified_topk(
+            queries, corpus, 5, mesh,
+            score_bound=1.0, batch_tile=4, corpus_tile=64,
+        )
+        assert (np.asarray(positions) < 96).all()
+        ref = queries @ corpus.T
+        for b in np.nonzero(np.asarray(exact))[0]:
+            want = set(np.argsort(-ref[b])[:5].tolist())
+            assert set(np.asarray(positions[b]).tolist()) == want
+
+    def test_unnormalized_with_explicit_bound(self):
+        from xfmr_rec_tpu.parallel import sharded_packed_certified_topk
+
+        mesh = create_mesh(8, model_parallel=2)
+        rng = np.random.default_rng(13)
+        corpus = rng.normal(size=(128, 8)).astype(np.float32) * 2.0
+        queries = rng.normal(size=(4, 8)).astype(np.float32)
+        bound = float(
+            np.linalg.norm(corpus, axis=1).max()
+            * np.linalg.norm(queries, axis=1).max()
+        )
+        scores, positions, exact = sharded_packed_certified_topk(
+            queries, corpus, 5, mesh,
+            score_bound=bound, batch_tile=4, corpus_tile=64,
+        )
+        ref = queries @ corpus.T
+        for b in np.nonzero(np.asarray(exact))[0]:
+            want = set(np.argsort(-ref[b])[:5].tolist())
+            assert set(np.asarray(positions[b]).tolist()) == want

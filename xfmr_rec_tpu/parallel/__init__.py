@@ -3,6 +3,7 @@
 from xfmr_rec_tpu.parallel.mesh import create_mesh, shard_batch
 from xfmr_rec_tpu.parallel.retrieval import (
     sharded_certified_topk,
+    sharded_packed_certified_topk,
     sharded_topk,
 )
 from xfmr_rec_tpu.parallel.train import make_sharded_train_step
@@ -12,5 +13,6 @@ __all__ = [
     "make_sharded_train_step",
     "shard_batch",
     "sharded_certified_topk",
+    "sharded_packed_certified_topk",
     "sharded_topk",
 ]
