@@ -80,17 +80,19 @@ def main() -> None:
                 )
             )
         else:
-            # packed contract: every decoded score is a floor within one
-            # key quantum of a true score >= the dense k-th value minus
-            # the quantum
-            # score quantum = bound * 2^(idx_bits-21): idx_bits=9 at
-            # 512 corpus tiles, bound ~1.05 for unit-norm rows
-            quantum = 1.05 * 2.0 ** (9 - 21)
+            # packed contract: returned members score >= the reference
+            # k-th value minus tolerance. The tolerance is dominated by
+            # bf16 SCORING noise (~2^-8 relative, ~8e-3 here), because
+            # the packed path rounds the pre-scaled queries to bf16 and
+            # the reference rounds the raw queries — two equally-valid
+            # bf16 roundings of the same scores; the key quantum
+            # (bound * 2^(idx_bits-21) ~ 2.6e-4) is an order below it.
+            tol = 1e-2
             kth = ref_vals[:, -1]
             mismatches = int(
                 sum(
-                    (scores[b] < kth[b] - quantum).any()
-                    or (scores[b] > ref_vals[b][0] + 1e-6).any()
+                    (scores[b] < kth[b] - tol).any()
+                    or (scores[b] > ref_vals[b][0] + tol).any()
                     for b in range(BATCH)
                 )
             )
