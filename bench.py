@@ -58,6 +58,11 @@ def main() -> None:
     rng = np.random.default_rng(0)
     corpus = rng.normal(size=(CORPUS_SIZE, DIM)).astype(np.float32)
     corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+    # trailing 1.5 column: the packed-key window bias rides the matmul
+    # (bias_in_dot) — free on the MXU, saves a VPU add per score element
+    corpus = np.concatenate(
+        [corpus, np.full((CORPUS_SIZE, 1), 1.5, np.float32)], axis=1
+    )
     corpus_dev = jax.device_put(jnp.asarray(corpus, dtype=jnp.bfloat16))
     query_batches = []
     for _ in range(4):
@@ -78,6 +83,8 @@ def main() -> None:
             score_bound=1.0,
             batch_tile=BATCH_TILE,
             corpus_tile=CORPUS_TILE,
+            merge_levels=1,
+            bias_in_dot=True,
             recompute_scores=False,
         )
 

@@ -569,3 +569,139 @@ class TestPackedScan:
             got = np.asarray(scores[b])
             assert (got <= true + 1e-6).all()
             assert (true - got <= quantum + 1e-6).all()
+
+
+class TestPackedMergeAndBias:
+    """Lane-pair merging (selection-width halving) + bias-in-dot."""
+
+    def _normed(self, b, n, d, seed=0):
+        rng = np.random.default_rng(seed)
+        q = rng.normal(size=(b, d)).astype(np.float32)
+        c = rng.normal(size=(n, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        return q, c
+
+    @pytest.mark.parametrize("levels", [1, 2])
+    def test_merged_certified_rows_match_dense(self, levels):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_certified_topk
+
+        q, c = self._normed(B, N, D, seed=41)
+        scores, pos, exact = packed_certified_topk(
+            q, c, K, score_bound=1.0, merge_levels=levels, **TILE
+        )
+        dense = q @ c.T
+        exact = np.asarray(exact)
+        assert exact.any()
+        # idx_bits=2 (4 tiles) + `levels` reserved bits, bound 1.0
+        quantum = 2.0 ** (-23 + 2 + levels) * 4.0
+        for b in np.flatnonzero(exact):
+            want = np.sort(dense[b])[-K:][::-1]
+            got = np.sort(np.asarray(scores[b]))[::-1]
+            np.testing.assert_allclose(got, want, atol=quantum, rtol=1e-5)
+
+    @pytest.mark.parametrize("levels", [1, 2])
+    def test_merged_positions_decode(self, levels):
+        from xfmr_rec_tpu.ops.topk_pallas import (
+            exact_scores_at,
+            packed_certified_parts,
+        )
+
+        q, c = self._normed(B, N, D, seed=42)
+        keys, pos, dmax = packed_certified_parts(
+            q, c, K, score_bound=1.0, merge_levels=levels, **TILE
+        )
+        dense = q @ c.T
+        got = np.asarray(exact_scores_at(q, c, pos))
+        for b in range(B):
+            # every decoded position is real and its exact score is the
+            # gathered dense score
+            assert (np.asarray(pos[b]) >= 0).all()
+            assert (np.asarray(pos[b]) < N).all()
+            np.testing.assert_allclose(
+                got[b], dense[b][np.asarray(pos[b])], rtol=1e-5
+            )
+            # merged certified rows: keys stay sorted descending
+            assert (np.diff(np.asarray(keys[b])) <= 0).all()
+
+    def test_merged_with_lane_shuffle(self):
+        from xfmr_rec_tpu.ops.topk_pallas import (
+            exact_scores_at,
+            packed_certified_parts,
+        )
+
+        q, c = self._normed(B, N, D, seed=43)
+        keys, pos, dmax = packed_certified_parts(
+            q, c, K, score_bound=1.0, merge_levels=1, lane_shuffle=3,
+            **TILE,
+        )
+        dense = q @ c.T
+        got = np.asarray(exact_scores_at(q, c, pos))
+        for b in range(B):
+            np.testing.assert_allclose(
+                got[b], dense[b][np.asarray(pos[b])], rtol=1e-5
+            )
+
+    def test_merge_clamps_when_buffer_too_small(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_certified_topk
+
+        q, c = self._normed(4, 128, 16, seed=44)
+        # ct=32 -> 3 merges would leave 2*(32>>3)=8 < k=20: clamped
+        scores, pos, exact = packed_certified_topk(
+            q, c, 20, score_bound=1.0, merge_levels=3,
+            batch_tile=4, corpus_tile=32, interpret=True,
+        )
+        assert (np.asarray(pos) < 128).all()
+        dense = q @ c.T
+        for b in np.flatnonzero(np.asarray(exact)):
+            want = np.sort(dense[b])[-20:][::-1]
+            got = np.sort(np.asarray(scores[b]))[::-1]
+            np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_bias_in_dot_matches_plain_path(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_certified_topk
+
+        q, c = self._normed(B, N, D, seed=45)
+        c_aug = np.concatenate(
+            [c, np.full((N, 1), 1.5, np.float32)], axis=1
+        )
+        plain = packed_certified_topk(q, c, K, score_bound=1.0, **TILE)
+        biased = packed_certified_topk(
+            q, c_aug, K, score_bound=1.0, bias_in_dot=True, **TILE
+        )
+        # same certified rows select the same score multiset (exact
+        # scores recomputed on the unbiased corpus in both paths)
+        both = np.asarray(plain[2]) & np.asarray(biased[2])
+        assert both.any()
+        for b in np.flatnonzero(both):
+            np.testing.assert_allclose(
+                np.sort(np.asarray(plain[0][b])),
+                np.sort(np.asarray(biased[0][b])),
+                rtol=1e-5, atol=1e-5,
+            )
+
+    def test_bias_in_dot_rejects_scales_and_bad_dims(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_lane_scan
+
+        q, c = self._normed(8, 128, 16, seed=46)
+        with pytest.raises(ValueError, match="trailing"):
+            packed_lane_scan(
+                q, c, bias_in_dot=True,
+                batch_tile=8, corpus_tile=128, interpret=True,
+            )
+
+    def test_padding_not_certified_on_tiny_corpus(self):
+        """true_num_items < k: stamped padding keys must not certify."""
+        from xfmr_rec_tpu.ops.topk_pallas import packed_certified_topk
+
+        rng = np.random.default_rng(47)
+        c = rng.normal(size=(64, 16)).astype(np.float32)
+        c[5:] = 0.0
+        q = rng.normal(size=(4, 16)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        scores, pos, exact = packed_certified_topk(
+            q, c, 10, score_bound=5.0, merge_levels=1,
+            true_num_items=5, batch_tile=4, corpus_tile=16,
+            interpret=True,
+        )
+        assert not np.asarray(exact).any()

@@ -489,6 +489,11 @@ class RetrievalIndex:
         )
         num_tiles = corpus_padded.shape[0] // tile
         idx_bits = max((num_tiles - 1).bit_length(), 1)
+        # one lane-pair merge halves the top_k selection width (the
+        # post-scan bottleneck); parts clamps it off when the merged
+        # buffer could not hold k candidates — mirror that clamp here so
+        # the decode mask matches
+        merge_levels = 1 if 2 * (tile >> 1) >= top_k else 0
         if not hasattr(self, "_packed_fn"):
             self._packed_fn = jax.jit(
                 lambda q, k, shuffle, bound, c, s: packed_certified_parts(
@@ -499,6 +504,7 @@ class RetrievalIndex:
                     batch_tile=512,
                     corpus_tile=tile,
                     idx_bits=idx_bits,
+                    merge_levels=1,
                     true_num_items=true_n,
                     lane_shuffle=shuffle,
                     scales=s,
@@ -529,7 +535,10 @@ class RetrievalIndex:
         positions = np.array(pos1)
         best_dmax = np.array(dmax1)
         tau = keys[:, top_k - 1]
-        uncertified = ~((best_dmax <= tau) & (tau > 0))
+        # padding keys are 0 but merge stamps can raise them to
+        # (1 << merge_levels) - 1; real keys are >= bitcast(1.25)
+        min_real = (1 << merge_levels) - 1
+        uncertified = ~((best_dmax <= tau) & (tau > min_real))
         uncertified[true_batch:] = False
         bad = np.nonzero(uncertified)[0]
         stats = {"batch": true_batch, "pass1_bad": int(bad.size)}
@@ -566,7 +575,7 @@ class RetrievalIndex:
                 row_tau = pool_key[take[-1]]
                 if (
                     best_dmax[b] <= row_tau
-                    and row_tau > 0
+                    and row_tau > min_real
                     and len(take) == top_k
                 ):
                     keys[b] = pool_key[take]
@@ -607,7 +616,7 @@ class RetrievalIndex:
             # zero-cost decode: host bitcast of the (already descending)
             # keys back to quantized-floor scores; dense-fallback rows
             # keep their exact dense scores
-            idx_mask = np.int32((1 << idx_bits) - 1)
+            idx_mask = np.int32((1 << (idx_bits + merge_levels)) - 1)
             keyf = (keys & ~idx_mask).view(np.float32)
             scores = (keyf - 1.5) * (float(bound) / 0.25)
             if dense_scores is not None:

@@ -638,13 +638,20 @@ def certified_topk(
 # at quantum resolution).
 
 
-def _packed_keys(scores, step, idx_bits):
+def _packed_keys(scores, step, idx_bits, reserve_bits=0, biased=False):
     """(bt, ct) f32 scaled scores -> int32 packed keys for corpus tile
-    `step`. Assumes scores + 1.5 > 0 (sound `score_bound` upstream)."""
-    keyf = scores + 1.5
+    `step`. Assumes scores + 1.5 > 0 (sound `score_bound` upstream).
+
+    `reserve_bits` extra low bits are zeroed below the tile index —
+    `merge_lane_pairs` stamps its merge path there so positions decode
+    without a lane map. `biased=True` means the +1.5 window bias is
+    already in `scores` (folded into the matmul via an augmented
+    column, see `bias_in_dot`).
+    """
+    keyf = scores if biased else scores + 1.5
     keyi = jax.lax.bitcast_convert_type(keyf, jnp.int32)
-    low_mask = (1 << idx_bits) - 1
-    return (keyi & ~low_mask) | step
+    low_mask = (1 << (idx_bits + reserve_bits)) - 1
+    return (keyi & ~low_mask) | (step << reserve_bits)
 
 
 def _packed_scan2_kernel(
@@ -652,6 +659,8 @@ def _packed_scan2_kernel(
     corpus_tile,
     true_num_items,
     idx_bits,
+    reserve_bits=0,
+    bias_in_dot=False,
     lane_shuffle=0,
     has_scales=False,
 ):
@@ -673,7 +682,9 @@ def _packed_scan2_kernel(
     if lane_shuffle:
         shift = (step * lane_shuffle) % corpus_tile
         scores = pltpu.roll(scores, shift, 1)
-    keys = _packed_keys(scores, step, idx_bits)
+    keys = _packed_keys(
+        scores, step, idx_bits, reserve_bits=reserve_bits, biased=bias_in_dot
+    )
     if true_num_items is not None:
         # mask zero-padding corpus rows to key 0 (below any real key);
         # lane l holds tile item (l - shift) mod ct under lane_shuffle
@@ -689,9 +700,10 @@ def _packed_scan2_kernel(
     contender = jnp.minimum(best1, keys)
     new2 = jnp.maximum(best2, contender)
     discarded = jnp.minimum(best2, contender)
-    dmax_ref[:] = jnp.maximum(
-        dmax_ref[:], jnp.max(discarded, axis=-1, keepdims=True)
-    )
+    # full-width elementwise running discard-max: cheaper on the VPU than
+    # reducing each tile's discards to (bt, 1) inside the hot loop
+    # (measured -0.35 ms at B=2048 x 1M x 64); reduced once post-sweep
+    dmax_ref[:] = jnp.maximum(dmax_ref[:], discarded)
     key1_ref[:] = new1
     key2_ref[:] = new2
 
@@ -704,6 +716,8 @@ def packed_lane_scan(
     batch_tile: int = DEFAULT_BATCH_TILE,
     corpus_tile: int = DEFAULT_CORPUS_TILE,
     idx_bits: int | None = None,
+    reserve_bits: int = 0,
+    bias_in_dot: bool = False,
     true_num_items: int | None = None,
     lane_shuffle: int = 0,
     scales: Array | None = None,
@@ -718,8 +732,17 @@ def packed_lane_scan(
     resolution smoothly (keys stay monotonic for any score > -6.0 after
     scaling) but a bound allowing score*s <= -1.5 would break key order —
     hence the 0.25 safety margin on top of the caller's bound.
+
+    `reserve_bits` zeroes extra low mantissa bits below the tile index
+    for `merge_lane_pairs` path stamps (coarsens the key quantum by
+    2^reserve_bits). `bias_in_dot=True` folds the +1.5 window bias into
+    the matmul: the CORPUS must already carry a trailing column of
+    constant 1.5 (queries get a matching 1.0 column here); the
+    contraction dim is MXU-padded anyway so the extra column is free on
+    the MXU and saves one VPU add per score element (float corpora
+    only — incompatible with `scales`).
     """
-    batch, dim = queries.shape
+    batch = queries.shape[0]
     num_items = corpus.shape[0]
     batch_tile = min(batch_tile, batch)
     corpus_tile = min(corpus_tile, num_items)
@@ -735,8 +758,29 @@ def packed_lane_scan(
     if num_tiles > (1 << idx_bits):
         msg = f"{num_tiles=} does not fit in {idx_bits=}"
         raise ValueError(msg)
+    if idx_bits + reserve_bits > 20:
+        msg = (
+            f"{idx_bits=} + {reserve_bits=} leaves fewer than 3 mantissa "
+            "bits of score resolution"
+        )
+        raise ValueError(msg)
     scale = 0.25 / jnp.asarray(score_bound, dtype=jnp.float32)
     queries = (queries.astype(jnp.float32) * scale).astype(queries.dtype)
+    if bias_in_dot:
+        if scales is not None:
+            msg = "bias_in_dot is incompatible with int8 scales"
+            raise ValueError(msg)
+        if corpus.shape[1] != queries.shape[1] + 1:
+            msg = (
+                "bias_in_dot expects the corpus to carry a trailing "
+                f"1.5 column: corpus dim {corpus.shape[1]} != query dim "
+                f"{queries.shape[1]} + 1"
+            )
+            raise ValueError(msg)
+        queries = jnp.concatenate(
+            [queries, jnp.ones((batch, 1), dtype=queries.dtype)], axis=1
+        )
+    dim = queries.shape[1]
 
     grid = (batch // batch_tile, num_tiles)
     block_in = [
@@ -761,9 +805,6 @@ def packed_lane_scan(
         (batch_tile, corpus_tile), lambda b, i: (b, 0),
         memory_space=pltpu.VMEM,
     )
-    dmax_block = pl.BlockSpec(
-        (batch_tile, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM
-    )
     if true_num_items is not None and true_num_items >= num_items:
         true_num_items = None
     kernel = functools.partial(
@@ -771,6 +812,8 @@ def packed_lane_scan(
         corpus_tile=corpus_tile,
         true_num_items=true_num_items,
         idx_bits=idx_bits,
+        reserve_bits=reserve_bits,
+        bias_in_dot=bias_in_dot,
         lane_shuffle=lane_shuffle,
         has_scales=scales is not None,
     )
@@ -779,12 +822,8 @@ def packed_lane_scan(
         kernel,
         grid=grid,
         in_specs=block_in,
-        out_specs=[out_block, out_block, dmax_block],
-        out_shape=[
-            key_shape,
-            key_shape,
-            jax.ShapeDtypeStruct((batch, 1), jnp.int32),
-        ],
+        out_specs=[out_block, out_block, out_block],
+        out_shape=[key_shape, key_shape, key_shape],
         cost_estimate=pl.CostEstimate(
             flops=2 * batch * num_items * dim,
             bytes_accessed=corpus.size * corpus.dtype.itemsize,
@@ -792,7 +831,39 @@ def packed_lane_scan(
         ),
         interpret=interpret,
     )(*operands)
-    return jnp.concatenate([key1, key2], axis=-1), dmax[:, 0]
+    return jnp.concatenate([key1, key2], axis=-1), jnp.max(dmax, axis=-1)
+
+
+def merge_lane_pairs(
+    key1: Array, key2: Array, level: int
+) -> tuple[Array, Array, Array]:
+    """Halve the slot buffers: keep the top-2 keys of each lane pair.
+
+    Pairs column j with column j + w/2 (contiguous block slices — no
+    lane relayout). Survivors from the upper half get bit `level`
+    stamped into the key's reserved low bits, so positions decode from
+    (key, final column) alone — no lane map, no gather. Returns
+    (key1', key2', disc_max (B,)) with disc_max the max discarded key,
+    which the caller must fold into the sweep's discard-max: the
+    certificate then stays sound, while the certification RATE drops
+    (a pair holding >= 3 of a row's top-k forces a retry — measured
+    96% -> 87% per merge at k=100, ct=2048).
+
+    Requires `level` < the `reserve_bits` used at pack time. Stamping
+    perturbs order only within one (coarsened) key quantum.
+    """
+    w = key1.shape[1] // 2
+    bit = 1 << level
+    a1, a2 = key1[:, :w], key2[:, :w]
+    b1, b2 = key1[:, w:] | bit, key2[:, w:] | bit
+    awins = a1 >= b1
+    top1 = jnp.where(awins, a1, b1)
+    top2 = jnp.where(awins, jnp.maximum(a2, b1), jnp.maximum(b2, a1))
+    disc = jnp.maximum(
+        jnp.where(awins, jnp.minimum(a2, b1), jnp.minimum(b2, a1)),
+        jnp.where(awins, b2, a2),
+    )
+    return top1, top2, jnp.max(disc, axis=-1)
 
 
 def unpack_positions(
@@ -802,15 +873,23 @@ def unpack_positions(
     corpus_tile: int,
     idx_bits: int,
     lane_shuffle: int = 0,
+    reserve_bits: int = 0,
+    merge_levels: int = 0,
 ) -> Array:
     """Recover corpus positions from packed keys + their lane indices.
 
-    `lane_index` is the index into the (B, 2*ct) key buffer (top_k's
-    second output); lane = index % ct. Under lane_shuffle the tile's item
-    at lane l is (l - tile*shuffle) mod ct.
+    `lane_index` is the index into the (B, 2*width) key buffer (top_k's
+    second output), width = ct >> merge_levels; the column is
+    index % width. After `merge_levels` rounds of `merge_lane_pairs`
+    the original lane is the column plus, per level l, bit l of the
+    key's reserved low bits times ct >> (l+1). Under lane_shuffle the
+    tile's item at lane l is (l - tile*shuffle) mod ct.
     """
-    tile = keys & ((1 << idx_bits) - 1)
-    lane = jax.lax.rem(lane_index, corpus_tile)
+    tile = (keys >> reserve_bits) & ((1 << idx_bits) - 1)
+    width = corpus_tile >> merge_levels
+    lane = jax.lax.rem(lane_index, width)
+    for level in range(merge_levels):
+        lane = lane + ((keys >> level) & 1) * (corpus_tile >> (level + 1))
     if lane_shuffle:
         col = jax.lax.rem(
             lane - tile * lane_shuffle % corpus_tile + corpus_tile,
@@ -830,6 +909,8 @@ def packed_certified_parts(
     batch_tile: int = DEFAULT_BATCH_TILE,
     corpus_tile: int = DEFAULT_CORPUS_TILE,
     idx_bits: int | None = None,
+    merge_levels: int = 0,
+    bias_in_dot: bool = False,
     true_num_items: int | None = None,
     lane_shuffle: int = 0,
     scales: Array | None = None,
@@ -838,10 +919,20 @@ def packed_certified_parts(
     """Packed scan + top-k: (top_keys (B,k) i32, positions (B,k) i32,
     dmax (B,) i32). Keys from passes with the same score_bound are
     directly comparable, so multi-pass merges work in key space exactly
-    like `certified_topk_parts`."""
-    num_tiles = corpus.shape[0] // min(corpus_tile, corpus.shape[0])
+    like `certified_topk_parts`.
+
+    `merge_levels` rounds of `merge_lane_pairs` halve the selection
+    width each (top_k over (B, 2*ct >> levels)) at the cost of
+    certification rate — levels are auto-clamped so the buffer still
+    holds k candidates. `bias_in_dot` needs a corpus with a trailing
+    1.5 column (see `packed_lane_scan`).
+    """
+    ct = min(corpus_tile, corpus.shape[0])
+    num_tiles = corpus.shape[0] // ct
     if idx_bits is None:
         idx_bits = max((num_tiles - 1).bit_length(), 1)
+    while merge_levels and 2 * (ct >> merge_levels) < k:
+        merge_levels -= 1
     keys, dmax = packed_lane_scan(
         queries,
         corpus,
@@ -849,33 +940,47 @@ def packed_certified_parts(
         batch_tile=batch_tile,
         corpus_tile=corpus_tile,
         idx_bits=idx_bits,
+        reserve_bits=merge_levels,
+        bias_in_dot=bias_in_dot,
         true_num_items=true_num_items,
         lane_shuffle=lane_shuffle,
         scales=scales,
         interpret=interpret,
     )
-    ct = min(corpus_tile, corpus.shape[0])
-    top_keys, top_lanes = jax.lax.top_k(keys, k)
+    key1, key2 = keys[:, :ct], keys[:, ct:]
+    for level in range(merge_levels):
+        key1, key2, disc = merge_lane_pairs(key1, key2, level)
+        dmax = jnp.maximum(dmax, disc)
+    top_keys, top_lanes = jax.lax.top_k(
+        jnp.concatenate([key1, key2], axis=-1), k
+    )
     positions = unpack_positions(
         top_keys,
         top_lanes,
         corpus_tile=ct,
         idx_bits=idx_bits,
         lane_shuffle=lane_shuffle,
+        reserve_bits=merge_levels,
+        merge_levels=merge_levels,
     )
     return top_keys, positions, dmax
 
 
 def decode_scores(
-    keys: Array, *, idx_bits: int, score_bound: float | Array = 1.0
+    keys: Array,
+    *,
+    idx_bits: int,
+    score_bound: float | Array = 1.0,
+    reserve_bits: int = 0,
 ) -> Array:
     """Decode packed keys back to (quantized) scores — zero extra device
     passes. The decoded value is the floor of the true score at the key
-    quantum (2^(idx_bits-23) of the scaled [1.25,1.75) window, i.e.
-    ~score_bound * 2^(idx_bits-21)): decoded <= true < decoded + quantum.
+    quantum (2^(idx_bits+reserve_bits-23) of the scaled [1.25,1.75)
+    window, i.e. ~score_bound * 2^(idx_bits+reserve_bits-21)):
+    decoded <= true < decoded + quantum.
     """
     keyf = jax.lax.bitcast_convert_type(
-        keys & ~((1 << idx_bits) - 1), jnp.float32
+        keys & ~((1 << (idx_bits + reserve_bits)) - 1), jnp.float32
     )
     return (keyf - 1.5) * (jnp.asarray(score_bound, jnp.float32) / 0.25)
 
@@ -908,6 +1013,8 @@ def packed_certified_topk(
     batch_tile: int = DEFAULT_BATCH_TILE,
     corpus_tile: int = DEFAULT_CORPUS_TILE,
     idx_bits: int | None = None,
+    merge_levels: int = 0,
+    bias_in_dot: bool = False,
     true_num_items: int | None = None,
     scales: Array | None = None,
     recompute_scores: bool = True,
@@ -920,11 +1027,15 @@ def packed_certified_topk(
     recompute_scores=True gathers corpus rows and recomputes exact f32
     scores for the selected items (a (B, k) gather+dot, ~4.5 ms at
     B=2048, k=100 on v5e); False decodes the quantized scores from the
-    keys for free (floor at the key quantum).
+    keys for free (floor at the key quantum). `merge_levels` /
+    `bias_in_dot`: see `packed_certified_parts`.
     """
-    num_tiles = corpus.shape[0] // min(corpus_tile, corpus.shape[0])
+    ct = min(corpus_tile, corpus.shape[0])
+    num_tiles = corpus.shape[0] // ct
     if idx_bits is None:
         idx_bits = max((num_tiles - 1).bit_length(), 1)
+    while merge_levels and 2 * (ct >> merge_levels) < k:
+        merge_levels -= 1
     top_keys, positions, dmax = packed_certified_parts(
         queries,
         corpus,
@@ -933,17 +1044,32 @@ def packed_certified_topk(
         batch_tile=batch_tile,
         corpus_tile=corpus_tile,
         idx_bits=idx_bits,
+        merge_levels=merge_levels,
+        bias_in_dot=bias_in_dot,
         true_num_items=true_num_items,
         scales=scales,
         interpret=interpret,
     )
     tau = top_keys[:, k - 1]
-    exact = jnp.logical_and(dmax <= tau, tau > 0)
+    # padding keys are 0 but merge stamps can raise them to
+    # (1 << merge_levels) - 1; any real key is >= bitcast(1.25) >> that
+    exact = jnp.logical_and(dmax <= tau, tau > (1 << merge_levels) - 1)
     if recompute_scores:
-        scores = exact_scores_at(queries, corpus, positions, scales=scales)
+        if bias_in_dot:
+            # drop the 1.5 bias column for the exact-score gather
+            scores = exact_scores_at(
+                queries, corpus[:, :-1], positions, scales=scales
+            )
+        else:
+            scores = exact_scores_at(
+                queries, corpus, positions, scales=scales
+            )
     else:
         scores = decode_scores(
-            top_keys, idx_bits=idx_bits, score_bound=score_bound
+            top_keys,
+            idx_bits=idx_bits,
+            score_bound=score_bound,
+            reserve_bits=merge_levels,
         )
     return scores, positions, exact
 

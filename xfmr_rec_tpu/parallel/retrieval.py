@@ -193,6 +193,7 @@ def sharded_packed_certified_topk(
     score_bound: float | Array = 1.0,
     batch_tile: int | None = None,
     corpus_tile: int | None = None,
+    merge_levels: int = 0,
     interpret: bool | None = None,
 ) -> tuple[Array, Array, Array]:
     """Packed-key certified top-k over an item-sharded corpus.
@@ -238,6 +239,8 @@ def sharded_packed_certified_topk(
     padded_local = local_n + (-local_n % ct)
     num_tiles = padded_local // ct
     idx_bits = max((num_tiles - 1).bit_length(), 1)
+    while merge_levels and 2 * (ct >> merge_levels) < local_k:
+        merge_levels -= 1
 
     @functools.partial(
         jax.shard_map,
@@ -251,21 +254,20 @@ def sharded_packed_certified_topk(
         corpus_padded = (
             jnp.pad(corpus_local, ((0, pad), (0, 0))) if pad else corpus_local
         )
-        keys, dmax = tk.packed_lane_scan(
+        local_keys, local_pos, dmax = tk.packed_certified_parts(
             q,
             corpus_padded,
+            local_k,
             score_bound=score_bound,
             batch_tile=bt,
             corpus_tile=ct,
             idx_bits=idx_bits,
+            merge_levels=merge_levels,
             true_num_items=local_n if pad else None,
             interpret=interpret,
         )
-        local_keys, local_lanes = jax.lax.top_k(keys, local_k)
         offset = jax.lax.axis_index(MODEL_AXIS) * local_n
-        local_pos = offset + tk.unpack_positions(
-            local_keys, local_lanes, corpus_tile=ct, idx_bits=idx_bits
-        )
+        local_pos = offset + local_pos
         all_keys = jax.lax.all_gather(local_keys, MODEL_AXIS)
         all_pos = jax.lax.all_gather(local_pos, MODEL_AXIS)
         all_keys = all_keys.transpose(1, 0, 2).reshape(batch, -1)
@@ -274,9 +276,14 @@ def sharded_packed_certified_topk(
         top_pos = jnp.take_along_axis(all_pos, merge_arg, axis=-1)
         tau = top_keys[:, k - 1]
         global_dmax = jax.lax.pmax(dmax, MODEL_AXIS)
-        exact = jnp.logical_and(global_dmax <= tau, tau > 0)
+        exact = jnp.logical_and(
+            global_dmax <= tau, tau > (1 << merge_levels) - 1
+        )
         scores = tk.decode_scores(
-            top_keys, idx_bits=idx_bits, score_bound=score_bound
+            top_keys,
+            idx_bits=idx_bits,
+            score_bound=score_bound,
+            reserve_bits=merge_levels,
         )
         return scores, top_pos, exact
 
