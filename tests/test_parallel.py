@@ -211,6 +211,26 @@ class TestShardedPackedCertifiedTopK:
             want = set(np.argsort(-ref[b])[:5].tolist())
             assert set(np.asarray(positions[b]).tolist()) == want
 
+    def test_merge_levels_certified_match_dense(self):
+        from xfmr_rec_tpu.parallel import sharded_packed_certified_topk
+
+        mesh = create_mesh(8, model_parallel=4)
+        corpus, queries = self._normed(512, 16, 8, seed=14)
+        scores, positions, exact = sharded_packed_certified_topk(
+            queries, corpus, 10, mesh,
+            score_bound=1.0, batch_tile=8, corpus_tile=64,
+            merge_levels=1,
+        )
+        exact = np.asarray(exact)
+        assert exact.any()
+        ref = queries @ corpus.T
+        for b in np.nonzero(exact)[0]:
+            want = np.sort(ref[b])[::-1][:10]
+            got = np.sort(np.asarray(scores[b]))[::-1]
+            np.testing.assert_allclose(got, want, atol=2e-4)
+            true = ref[b][np.asarray(positions[b])]
+            assert (np.asarray(scores[b]) <= true + 1e-6).all()
+
     def test_unnormalized_with_explicit_bound(self):
         from xfmr_rec_tpu.parallel import sharded_packed_certified_topk
 
