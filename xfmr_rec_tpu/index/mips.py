@@ -490,27 +490,32 @@ class RetrievalIndex:
         num_tiles = corpus_padded.shape[0] // tile
         idx_bits = max((num_tiles - 1).bit_length(), 1)
         # one lane-pair merge halves the top_k selection width (the
-        # post-scan bottleneck); parts clamps it off when the merged
-        # buffer could not hold k candidates — mirror that clamp here so
-        # the decode mask matches
-        merge_levels = 1 if 2 * (tile >> 1) >= top_k else 0
+        # post-scan bottleneck), but its certification rate falls with
+        # the pair count: expected triple-collisions per row ~
+        # k^3 / (6 * pairs^2), so cert ~ exp(-k^3/(6 pairs^2)). Gate on
+        # pairs^2 >= k^3 (>= ~85% certified: measured 86% at k=100 /
+        # ct=2048, vs 56% at ct=1024 where the gate keeps merge off).
+        pairs = tile >> 1
+        merge_levels = 1 if pairs * pairs >= top_k**3 else 0
         if not hasattr(self, "_packed_fn"):
             self._packed_fn = jax.jit(
-                lambda q, k, shuffle, bound, c, s: packed_certified_parts(
-                    q,
-                    c,
-                    k,
-                    score_bound=bound,
-                    batch_tile=512,
-                    corpus_tile=tile,
-                    idx_bits=idx_bits,
-                    merge_levels=1,
-                    true_num_items=true_n,
-                    lane_shuffle=shuffle,
-                    scales=s,
-                    interpret=interpret,
+                lambda q, k, shuffle, ml, bound, c, s: (
+                    packed_certified_parts(
+                        q,
+                        c,
+                        k,
+                        score_bound=bound,
+                        batch_tile=512,
+                        corpus_tile=tile,
+                        idx_bits=idx_bits,
+                        merge_levels=ml,
+                        true_num_items=true_n,
+                        lane_shuffle=shuffle,
+                        scales=s,
+                        interpret=interpret,
+                    )
                 ),
-                static_argnames=("k", "shuffle"),
+                static_argnames=("k", "shuffle", "ml"),
             )
             self._exact_at_fn = jax.jit(
                 lambda q, pos, c, s: exact_scores_at(q, c, pos, scales=s)
@@ -529,7 +534,8 @@ class RetrievalIndex:
             dtype=self._query_dtype,
         )
         keys1, pos1, dmax1 = self._packed_fn(
-            queries_dev, top_k, 0, bound, corpus_padded, scales_padded
+            queries_dev, top_k, 0, merge_levels, bound,
+            corpus_padded, scales_padded,
         )
         keys = np.array(keys1)
         positions = np.array(pos1)
@@ -555,6 +561,7 @@ class RetrievalIndex:
                 jnp.asarray(retry, dtype=self._query_dtype),
                 top_k,
                 shuffle,
+                merge_levels,
                 bound,
                 corpus_padded,
                 scales_padded,
