@@ -1,0 +1,131 @@
+"""IVF probe index: clustering, recall-vs-nprobe, exactness at full probe."""
+
+import numpy as np
+import pytest
+
+from xfmr_rec_tpu.index.ivf import IVFIndex, kmeans
+
+
+def normed(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+class TestKMeans:
+    def test_separable_clusters_recovered(self):
+        rng = np.random.default_rng(1)
+        centers = normed(3, 16, seed=2) * 10
+        points = np.concatenate(
+            [
+                centers[i] + 0.05 * rng.normal(size=(40, 16))
+                for i in range(3)
+            ]
+        ).astype(np.float32)
+        points /= np.linalg.norm(points, axis=-1, keepdims=True)
+        import jax.numpy as jnp
+
+        _, assign = kmeans(jnp.asarray(points), 3, iters=8, tile=64)
+        assign = np.asarray(assign)
+        # every ground-truth group lands in one cluster
+        for i in range(3):
+            group = assign[i * 40 : (i + 1) * 40]
+            assert (group == group[0]).all()
+
+    def test_empty_cluster_keeps_centroid(self):
+        import jax.numpy as jnp
+
+        pts = normed(8, 8, seed=3)
+        cents, assign = kmeans(jnp.asarray(pts), 8, iters=3, tile=8)
+        assert np.isfinite(np.asarray(cents)).all()
+
+
+class TestIVFIndex:
+    @pytest.fixture(scope="class")
+    def data(self):
+        corpus = normed(512, 16, seed=4)
+        queries = normed(16, 16, seed=5)
+        return corpus, queries
+
+    def test_full_probe_matches_exact(self, data):
+        from xfmr_rec_tpu.index import exact_topk
+
+        corpus, queries = data
+        idx = IVFIndex(
+            corpus, np.arange(1, 513), num_clusters=16, dtype="float32"
+        )
+        scores, ids = idx.search(queries, top_k=10, nprobe=16)
+        want_s, want_p = exact_topk(queries, corpus, 10)
+        for b in range(16):
+            np.testing.assert_array_equal(
+                ids[b], np.asarray(want_p[b]) + 1
+            )
+            np.testing.assert_allclose(
+                scores[b], np.asarray(want_s[b]), rtol=1e-5, atol=1e-5
+            )
+
+    def test_recall_rises_with_nprobe(self, data):
+        from xfmr_rec_tpu.index import exact_topk
+
+        corpus, queries = data
+        idx = IVFIndex(
+            corpus, np.arange(1, 513), num_clusters=32, dtype="float32"
+        )
+        _, want_p = exact_topk(queries, corpus, 10)
+        want_sets = [
+            set((np.asarray(want_p[b]) + 1).tolist()) for b in range(16)
+        ]
+
+        def recall(nprobe):
+            _, ids = idx.search(queries, top_k=10, nprobe=nprobe)
+            return np.mean(
+                [
+                    len(set(ids[b].tolist()) & want_sets[b]) / 10
+                    for b in range(16)
+                ]
+            )
+
+        r2, r8, r32 = recall(2), recall(8), recall(32)
+        assert r2 <= r8 + 1e-9 <= r32 + 2e-9
+        assert r32 == 1.0
+        assert r8 >= 0.6  # reference default nprobe
+
+    def test_single_query_vector(self, data):
+        corpus, queries = data
+        idx = IVFIndex(
+            corpus, np.arange(1, 513), num_clusters=16, dtype="float32"
+        )
+        scores, ids = idx.search(queries[0], top_k=5)
+        assert scores.shape == (1, 5)
+        assert (np.diff(scores[0]) <= 1e-6).all()
+
+    def test_padding_surfaces_as_minus_one(self):
+        corpus = normed(6, 8, seed=6)
+        idx = IVFIndex(
+            corpus, np.arange(1, 7), num_clusters=4, dtype="float32"
+        )
+        scores, ids = idx.search(normed(2, 8, seed=7), top_k=5, nprobe=1)
+        # a single probed cluster holds < 5 items: padding rows are -1
+        # with -inf scores, real rows lead
+        for b in range(2):
+            real = ids[b] != -1
+            assert real.any()
+            assert np.isneginf(scores[b][~real]).all()
+
+    def test_save_load_roundtrip(self, data, tmp_path):
+        corpus, queries = data
+        idx = IVFIndex(
+            corpus, np.arange(1, 513), num_clusters=16, dtype="float32"
+        )
+        idx.save(tmp_path / "ivf")
+        loaded = IVFIndex.load(tmp_path / "ivf")
+        s1, i1 = idx.search(queries, top_k=5, nprobe=16)
+        s2, i2 = loaded.search(queries, top_k=5, nprobe=16)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+    def test_default_nlist_heuristic(self):
+        corpus = normed(400, 8, seed=8)
+        idx = IVFIndex(corpus, np.arange(400), dtype="float32")
+        # 4 * sqrt(400) = 80
+        assert idx.num_clusters == 80

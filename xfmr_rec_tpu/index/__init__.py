@@ -1,5 +1,6 @@
 """TPU-HBM retrieval index: exact MIPS + streaming top-k with exclusions."""
 
+from xfmr_rec_tpu.index.ivf import IVFIndex
 from xfmr_rec_tpu.index.mips import RetrievalIndex, exact_topk
 
-__all__ = ["RetrievalIndex", "exact_topk"]
+__all__ = ["IVFIndex", "RetrievalIndex", "exact_topk"]

@@ -1,0 +1,293 @@
+"""IVF-partitioned MIPS for latency-optimized small-batch queries.
+
+Capability parity with the reference's LanceDB IVF index surface
+(/root/reference/xfmr_rec/data/lightning.py:202-254: nlist ~= 4*sqrt(n),
+`nprobes`, `refine_factor`), redesigned TPU-first:
+
+- Clustering runs as jitted Lloyd iterations ON DEVICE: assignment is a
+  lax.scan over corpus tiles (tile-local (T, K) score matrix on the
+  MXU, argmax per row), the centroid update is a one-hot matmul
+  (segment-sum as MXU work, not scatter).
+- The inverted lists are a CLUSTER-MAJOR DENSE layout: items sorted by
+  cluster into a (K, bucket, D) array zero-padded per cluster, plus a
+  parallel (K, bucket) position map. No ragged lists, no pointer
+  chasing — a probe is one gather of `nprobe` buckets followed by one
+  einsum, both static-shape.
+- In-bucket scores are EXACT dot products (the corpus is not
+  product-quantized), so the reference's `refine_factor` re-ranking
+  stage is unnecessary — `nprobe` is the single recall knob. Recall
+  loss comes only from the true neighbor living in an unprobed
+  cluster.
+
+When to use which index: the exhaustive packed scan (mips.py) wins for
+large query batches (reads the corpus once per ~512 queries, 277k QPS
+at 1M x 64); the IVF probe wins for latency-bound single/small-batch
+serving (touches nprobe/K of the corpus: ~1 MB instead of 128 MB per
+query at the defaults).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+NEG_INF = float("-inf")
+
+
+def kmeans(
+    corpus: Array,
+    num_clusters: int,
+    *,
+    iters: int = 10,
+    seed: int = 0,
+    tile: int = 4096,
+) -> tuple[Array, Array]:
+    """Device Lloyd iterations -> (centroids (K, D) f32, assign (N,) i32).
+
+    Cosine/MIPS clustering for unit-norm corpora: assignment by max dot
+    product, centroids re-normalized each round (spherical k-means).
+    All `iters` rounds run in ONE jitted dispatch (a lax.scan over
+    iterations of a lax.scan over corpus tiles); the corpus is a jit
+    ARGUMENT, never a closure constant (a captured corpus is baked into
+    the executable and, on remote-compile setups, shipped with every
+    compile request). Memory is bounded at (tile, K) per scan step.
+    """
+    num_items, dim = corpus.shape
+    rng = np.random.default_rng(seed)
+    init = rng.choice(num_items, size=num_clusters, replace=False)
+    corpus_f = jnp.asarray(corpus, jnp.float32)
+    centroids0 = corpus_f[jnp.asarray(init)]
+    pad = -num_items % tile
+    if pad:
+        corpus_f = jnp.pad(corpus_f, ((0, pad), (0, 0)))
+    tiles = corpus_f.reshape(-1, tile, dim)
+
+    @functools.partial(jax.jit, static_argnames=("n_iters",))
+    def run(tiles, centroids, n_iters):
+        def assign_pass(centroids):
+            def body(carry, ctile):
+                sums, counts = carry
+                scores = jnp.dot(
+                    ctile, centroids.T, preferred_element_type=jnp.float32
+                )
+                assign = jnp.argmax(scores, axis=-1)
+                onehot = jax.nn.one_hot(
+                    assign, num_clusters, dtype=jnp.float32
+                )
+                # zero-padding rows assign arbitrarily but have zero
+                # embeddings: they move counts, not directions — masked
+                valid = (
+                    jnp.abs(ctile).sum(axis=-1) > 0
+                ).astype(jnp.float32)
+                onehot = onehot * valid[:, None]
+                sums = sums + jnp.dot(
+                    onehot.T, ctile, preferred_element_type=jnp.float32
+                )
+                counts = counts + onehot.sum(axis=0)
+                return (sums, counts), assign
+
+            (sums, counts), assigns = jax.lax.scan(
+                body,
+                (
+                    jnp.zeros((num_clusters, dim), jnp.float32),
+                    jnp.zeros((num_clusters,), jnp.float32),
+                ),
+                tiles,
+            )
+            # empty clusters keep their previous centroid
+            new = jnp.where(
+                counts[:, None] > 0,
+                sums / jnp.maximum(counts[:, None], 1.0),
+                centroids,
+            )
+            norm = jnp.linalg.norm(new, axis=-1, keepdims=True)
+            return new / jnp.maximum(norm, 1e-12), assigns.reshape(-1)
+
+        def one_iter(centroids, _):
+            new, _ = assign_pass(centroids)
+            return new, None
+
+        centroids, _ = jax.lax.scan(
+            one_iter, centroids, None, length=n_iters
+        )
+        # final assignments consistent with the FINAL centroids
+        _, assigns = assign_pass(centroids)
+        return centroids, assigns
+
+    centroids, assigns = run(tiles, centroids0, iters)
+    return centroids, assigns[:num_items]
+
+
+class IVFIndex:
+    """Probe-based MIPS over a cluster-major bucket layout."""
+
+    def __init__(
+        self,
+        embeddings: np.ndarray,
+        ids: np.ndarray,
+        *,
+        num_clusters: int | None = None,
+        nprobe: int = 8,
+        kmeans_iters: int = 10,
+        seed: int = 0,
+        dtype: str = "bfloat16",
+        _restore: dict | None = None,
+    ) -> None:
+        embeddings = np.asarray(embeddings, np.float32)
+        self.ids = np.asarray(ids)
+        num_items, dim = embeddings.shape
+        self.nprobe = nprobe
+        if _restore is not None:
+            centroids = _restore["centroids"]
+            assign = _restore["assign"]
+            self.num_clusters = centroids.shape[0]
+        else:
+            if num_clusters is None:
+                # reference heuristic: nlist ~= 4 * sqrt(n)
+                # (data/lightning.py:202-203), floored at 4
+                num_clusters = max(4, int(4 * np.sqrt(num_items)))
+            num_clusters = min(num_clusters, num_items)
+            self.num_clusters = num_clusters
+            centroids, assign = kmeans(
+                jnp.asarray(embeddings),
+                num_clusters,
+                iters=kmeans_iters,
+                seed=seed,
+            )
+            centroids = np.asarray(centroids)
+            assign = np.asarray(assign)
+        self._assign = assign
+        counts = np.bincount(assign, minlength=self.num_clusters)
+        bucket = max(int(counts.max()), 1)
+        order = np.argsort(assign, kind="stable")
+        buckets = np.zeros(
+            (self.num_clusters, bucket, dim), dtype=np.float32
+        )
+        positions = np.full(
+            (self.num_clusters, bucket), num_items, dtype=np.int32
+        )
+        offsets = np.zeros(self.num_clusters, dtype=np.int64)
+        for row in order:
+            c = assign[row]
+            buckets[c, offsets[c]] = embeddings[row]
+            positions[c, offsets[c]] = row
+            offsets[c] += 1
+        self.bucket_size = bucket
+        self.fill = float(counts.sum() / (self.num_clusters * bucket))
+        self.centroids = jnp.asarray(centroids, jnp.float32)
+        self.buckets = jnp.asarray(buckets, dtype=dtype)
+        self.positions = jnp.asarray(positions)
+        self._ids_dev = jnp.asarray(self.ids.astype(np.int64))
+        self._num_items = num_items
+
+        def probe(q, k, nprobe, centroids, buckets, positions):
+            q = q.astype(jnp.float32)
+            cluster_scores = jnp.dot(
+                q, centroids.T, preferred_element_type=jnp.float32
+            )
+            _, probe_ids = jax.lax.top_k(cluster_scores, nprobe)  # (B, P)
+            cand = buckets[probe_ids]  # (B, P, bucket, D)
+            cand_pos = positions[probe_ids]  # (B, P, bucket)
+            scores = jnp.einsum(
+                "bd,bpcd->bpc",
+                q.astype(cand.dtype),
+                cand,
+                preferred_element_type=jnp.float32,
+            )
+            batch = q.shape[0]
+            scores = scores.reshape(batch, -1)
+            cand_pos = cand_pos.reshape(batch, -1)
+            scores = jnp.where(cand_pos < num_items, scores, NEG_INF)
+            k_eff = min(k, scores.shape[1])
+            top_scores, arg = jax.lax.top_k(scores, k_eff)
+            top_pos = jnp.take_along_axis(cand_pos, arg, axis=-1)
+            return top_scores, top_pos
+
+        self._probe_fn = jax.jit(probe, static_argnames=("k", "nprobe"))
+
+    def __len__(self) -> int:
+        return self._num_items
+
+    def search(
+        self,
+        queries: np.ndarray | Array,
+        *,
+        top_k: int,
+        nprobe: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Probe search -> (scores (B, k), item_ids (B, k)).
+
+        Results are exact within the probed clusters (no quantization);
+        recall vs exhaustive search rises with `nprobe` (reference
+        default 8, data/lightning.py:165).
+        """
+        queries = jnp.asarray(queries)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        nprobe = min(
+            nprobe if nprobe is not None else self.nprobe,
+            self.num_clusters,
+        )
+        scores, positions = self._probe_fn(
+            queries,
+            top_k,
+            nprobe,
+            self.centroids,
+            self.buckets,
+            self.positions,
+        )
+        positions = np.asarray(positions)
+        # padding positions (empty bucket slots) only surface when the
+        # probed lists hold fewer than k real items; map them to id -1
+        valid = positions < self._num_items
+        item_ids = np.where(
+            valid, self.ids[np.clip(positions, 0, self._num_items - 1)], -1
+        )
+        return np.asarray(scores), item_ids
+
+    # -- persistence ------------------------------------------------------
+    def save(self, path: str | pathlib.Path) -> None:
+        path = pathlib.Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        # store the dense corpus once (bucket layout is rebuilt on load
+        # from the saved assignment — cheaper than storing the padding)
+        dense = np.zeros(
+            (self._num_items, self.buckets.shape[-1]), np.float32
+        )
+        pos = np.asarray(self.positions).reshape(-1)
+        rows = np.asarray(self.buckets, np.float32).reshape(
+            -1, self.buckets.shape[-1]
+        )
+        keep = pos < self._num_items
+        dense[pos[keep]] = rows[keep]
+        np.savez(
+            path / "ivf.npz",
+            embeddings=dense,
+            ids=self.ids,
+            centroids=np.asarray(self.centroids),
+            assign=self._assign,
+        )
+        meta = {"nprobe": self.nprobe, "dtype": str(self.buckets.dtype)}
+        (path / "ivf.json").write_text(json.dumps(meta))
+
+    @classmethod
+    def load(cls, path: str | pathlib.Path) -> IVFIndex:
+        path = pathlib.Path(path)
+        arrays = np.load(path / "ivf.npz", allow_pickle=False)
+        meta = json.loads((path / "ivf.json").read_text())
+        return cls(
+            arrays["embeddings"],
+            arrays["ids"],
+            nprobe=meta["nprobe"],
+            dtype=meta["dtype"],
+            _restore={
+                "centroids": arrays["centroids"],
+                "assign": arrays["assign"],
+            },
+        )
