@@ -129,3 +129,28 @@ class TestIVFIndex:
         idx = IVFIndex(corpus, np.arange(400), dtype="float32")
         # 4 * sqrt(400) = 80
         assert idx.num_clusters == 80
+
+    def test_exclusions_not_in_prefilter(self, data):
+        corpus, queries = data
+        idx = IVFIndex(
+            corpus, np.arange(1, 513), num_clusters=16, dtype="float32"
+        )
+        _, base = idx.search(queries[:4], top_k=3, nprobe=16)
+        exclude = [row.tolist() for row in base]
+        _, got = idx.search(
+            queries[:4], top_k=3, nprobe=16, exclude_ids=exclude
+        )
+        for b in range(4):
+            assert not set(exclude[b]) & set(got[b].tolist())
+
+    def test_exclusion_unknown_ids_noop(self, data):
+        corpus, queries = data
+        idx = IVFIndex(
+            corpus, np.arange(1, 513), num_clusters=16, dtype="float32"
+        )
+        _, base = idx.search(queries[:2], top_k=3, nprobe=16)
+        _, got = idx.search(
+            queries[:2], top_k=3, nprobe=16,
+            exclude_ids=[[99999], []],
+        )
+        np.testing.assert_array_equal(base, got)

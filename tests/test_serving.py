@@ -211,3 +211,25 @@ class TestMetricsEndpoint:
         assert 'le="0.05"} 2' in text
         assert 'le="+Inf"} 3' in text
         assert 'http_request_duration_seconds_count{endpoint="x"} 3' in text
+
+
+class TestIVFEngine:
+    def test_ivf_index_kind_serves_and_excludes(self, artifact):
+        engine = RecommenderEngine(
+            artifact, warmup=False, index_kind="ivf", nprobe=4
+        )
+        out = engine.search_items(Query(text="comedy drama"), top_k=5)
+        assert out
+        ids = [c.movie_id for c in out]
+        out2 = engine.search_items(
+            Query(text="comedy drama"),
+            exclude_item_ids=ids[:2],
+            top_k=5,
+        )
+        assert not set(ids[:2]) & {c.movie_id for c in out2}
+
+    def test_unknown_index_kind_raises(self, artifact):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="index_kind"):
+            RecommenderEngine(artifact, warmup=False, index_kind="hnsw")

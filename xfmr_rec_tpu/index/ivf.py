@@ -186,7 +186,7 @@ class IVFIndex:
         self._ids_dev = jnp.asarray(self.ids.astype(np.int64))
         self._num_items = num_items
 
-        def probe(q, k, nprobe, centroids, buckets, positions):
+        def probe(q, k, nprobe, centroids, buckets, positions, excl):
             q = q.astype(jnp.float32)
             cluster_scores = jnp.dot(
                 q, centroids.T, preferred_element_type=jnp.float32
@@ -204,15 +204,45 @@ class IVFIndex:
             scores = scores.reshape(batch, -1)
             cand_pos = cand_pos.reshape(batch, -1)
             scores = jnp.where(cand_pos < num_items, scores, NEG_INF)
+            if excl is not None:
+                # reference `id NOT IN (...)` prefilter parity
+                # (data/lightning.py:237-259): mask candidates whose
+                # global position appears in the row's exclusion list
+                hit = jnp.any(
+                    cand_pos[:, :, None] == excl[:, None, :], axis=-1
+                )
+                scores = jnp.where(hit, NEG_INF, scores)
             k_eff = min(k, scores.shape[1])
             top_scores, arg = jax.lax.top_k(scores, k_eff)
             top_pos = jnp.take_along_axis(cand_pos, arg, axis=-1)
             return top_scores, top_pos
 
+        # None excl traces as an empty pytree: the no-exclusion and
+        # exclusion variants each get one cache entry
         self._probe_fn = jax.jit(probe, static_argnames=("k", "nprobe"))
+        self._id_to_pos = {int(i): p for p, i in enumerate(self.ids)}
 
     def __len__(self) -> int:
         return self._num_items
+
+    def positions_of(
+        self, id_lists: list[list[int]], width: int | None = None
+    ) -> np.ndarray:
+        """Per-row id lists -> padded corpus positions (pad = N).
+
+        Pad width rounds up to a power of two for stable jit shapes
+        (same convention as RetrievalIndex.positions_of).
+        """
+        if width is None:
+            longest = max((len(x) for x in id_lists), default=1) or 1
+            width = max(8, 1 << (longest - 1).bit_length())
+        out = np.full((len(id_lists), width), self._num_items, np.int32)
+        for row, id_list in enumerate(id_lists):
+            for col, id_val in enumerate(id_list[:width]):
+                out[row, col] = self._id_to_pos.get(
+                    int(id_val), self._num_items
+                )
+        return out
 
     def search(
         self,
@@ -220,12 +250,14 @@ class IVFIndex:
         *,
         top_k: int,
         nprobe: int | None = None,
+        exclude_ids: list[list[int]] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Probe search -> (scores (B, k), item_ids (B, k)).
 
         Results are exact within the probed clusters (no quantization);
         recall vs exhaustive search rises with `nprobe` (reference
-        default 8, data/lightning.py:165).
+        default 8, data/lightning.py:165). `exclude_ids` mirrors the
+        reference's NOT-IN prefilter.
         """
         queries = jnp.asarray(queries)
         if queries.ndim == 1:
@@ -234,6 +266,11 @@ class IVFIndex:
             nprobe if nprobe is not None else self.nprobe,
             self.num_clusters,
         )
+        excl = (
+            jnp.asarray(self.positions_of(exclude_ids))
+            if exclude_ids is not None
+            else None
+        )
         scores, positions = self._probe_fn(
             queries,
             top_k,
@@ -241,6 +278,7 @@ class IVFIndex:
             self.centroids,
             self.buckets,
             self.positions,
+            excl,
         )
         positions = np.asarray(positions)
         # padding positions (empty bucket slots) only surface when the

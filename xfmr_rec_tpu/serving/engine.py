@@ -44,8 +44,24 @@ def _activity_list(raw: Any) -> list[dict]:
 
 
 class RecommenderEngine:
+    """Loads the artifact and serves embed/search/lookup.
+
+    index_kind: "exact" (default) routes item search through the
+    exhaustive RetrievalIndex; "ivf" builds an IVFIndex over the same
+    corpus at load and probes `nprobe` clusters per query — the
+    reference's ANN serving mode (LanceDB IVF, service.py:117-131),
+    useful when corpus size makes exhaustive per-request scoring
+    latency-bound. Metadata/get_id stay on the RetrievalIndex either
+    way.
+    """
+
     def __init__(
-        self, artifact_dir: str | pathlib.Path, *, warmup: bool = True
+        self,
+        artifact_dir: str | pathlib.Path,
+        *,
+        warmup: bool = True,
+        index_kind: str = "exact",
+        nprobe: int = 8,
     ) -> None:
         from flax import serialization
 
@@ -78,6 +94,18 @@ class RecommenderEngine:
         # would otherwise be re-uploaded on EVERY request (host->device
         # transfer per call instead of once at load)
         self.index = RetrievalIndex.load(path / "index")
+        if index_kind not in ("exact", "ivf"):
+            msg = f"unknown index_kind {index_kind!r}"
+            raise ValueError(msg)
+        self.index_kind = index_kind
+        self.ivf = None
+        if index_kind == "ivf":
+            from xfmr_rec_tpu.index.ivf import IVFIndex
+
+            corpus = np.asarray(self.index.corpus, np.float32)
+            if self.index._scales is not None:
+                corpus = corpus * np.asarray(self.index._scales)[0][:, None]
+            self.ivf = IVFIndex(corpus, self.index.ids, nprobe=nprobe)
 
         import pandas as pd
 
@@ -120,11 +148,18 @@ class RecommenderEngine:
         if query.embedding is None:
             query = self.embed_query(query)
         embedding = np.asarray(query.embedding, dtype=np.float32)
-        scores, item_ids = self.index.search(
-            embedding,
-            top_k=top_k,
-            exclude_ids=[list(exclude_item_ids or [])],
-        )
+        if self.ivf is not None:
+            scores, item_ids = self.ivf.search(
+                embedding,
+                top_k=top_k,
+                exclude_ids=[list(exclude_item_ids or [])],
+            )
+        else:
+            scores, item_ids = self.index.search(
+                embedding,
+                top_k=top_k,
+                exclude_ids=[list(exclude_item_ids or [])],
+            )
         return [
             ItemCandidate(
                 movie_id=int(item_id),
@@ -134,6 +169,7 @@ class RecommenderEngine:
                 score=float(score),
             )
             for score, item_id in zip(scores[0], item_ids[0])
+            if int(item_id) != -1
         ]
 
     def get_item(self, item_id: int) -> ItemQuery:

@@ -99,12 +99,14 @@ def main(
     *,
     serve: bool = False,
     port: int = 8000,
+    index_kind: str = "exact",
+    nprobe: int = 8,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     path = pathlib.Path(artifact_dir)
     if not (path / "processors.json").exists():
         prepare_artifact(path)
-    engine = RecommenderEngine(path)
+    engine = RecommenderEngine(path, index_kind=index_kind, nprobe=nprobe)
     service = RecService(engine)
     test_queries(service)
     if serve:
@@ -120,5 +122,16 @@ if __name__ == "__main__":
     parser.add_argument("--artifact_dir", default="artifact")
     parser.add_argument("--serve", action="store_true")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument(
+        "--index_kind", choices=["exact", "ivf"], default="exact",
+        help="item search path: exhaustive exact or IVF probe (ANN)",
+    )
+    parser.add_argument("--nprobe", type=int, default=8)
     args = parser.parse_args()
-    main(args.artifact_dir, serve=args.serve, port=args.port)
+    main(
+        args.artifact_dir,
+        serve=args.serve,
+        port=args.port,
+        index_kind=args.index_kind,
+        nprobe=args.nprobe,
+    )
