@@ -388,3 +388,42 @@ class TestFullCohortPredict:
                 for p in dm._train_items_by_user.get(upos, [])
             }
             assert not (set(row["rec_item_ids"]) & hist_ids)
+
+
+class TestLRSchedule:
+    def test_cosine_schedule_trains_and_decays(self, dm, tmp_path_factory):
+        import jax.numpy as jnp
+        import optax
+
+        cfg = TrainConfig(
+            **TINY_MODEL,
+            learning_rate=1e-3,
+            lr_schedule="cosine",
+            warmup_steps=2,
+        )
+        trainer = Trainer(
+            cfg,
+            data=dm,
+            trainer_config=TrainerConfig(
+                max_steps=6,
+                limit_val_batches=1,
+                log_dir=str(tmp_path_factory.mktemp("lrruns")),
+                run_name="cosine",
+            ),
+        )
+        metrics = trainer.fit()
+        assert np.isfinite(metrics["val/RetrievalNormalizedDCG"])
+        # Trainer filled total_steps from max_steps
+        assert trainer.config.total_steps == 6
+        # the schedule itself: 0 at step 0, peak at warmup, decayed after
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, 1e-3, 2, 6, end_value=1e-5
+        )
+        assert float(sched(0)) == 0.0
+        assert float(sched(2)) == pytest.approx(1e-3)
+        assert float(sched(6)) < 1e-3 / 10
+
+    def test_constant_schedule_unchanged_default(self):
+        cfg = TrainConfig(**TINY_MODEL)
+        assert cfg.lr_schedule == "constant"
+        assert cfg.total_steps is None

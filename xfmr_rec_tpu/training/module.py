@@ -56,6 +56,13 @@ class TrainConfig(ModelConfig):
     # capacity per chip at bf16 speed — see index/mips.py); validated at
     # config parse so a typo fails before training spends time
     index_dtype: Literal["bfloat16", "float32", "int8"] = "bfloat16"
+    # LR schedule: the reference trains at constant AdamW LR
+    # (lightning.py:238-239); cosine decay + linear warmup is a
+    # TPU-extra. total_steps is filled in by the Trainer when a
+    # schedule needs it (cosine decays to ~0 over the full run).
+    lr_schedule: Literal["constant", "cosine"] = "constant"
+    warmup_steps: int = 0
+    total_steps: int | None = None
 
 
 class TrainState(train_state.TrainState):
@@ -71,9 +78,23 @@ def create_train_state(
         rng = jax.random.PRNGKey(rng)
     params_rng, dropout_rng = jax.random.split(rng)
     model, params = init_encoder(config, params_rng)
-    tx = optax.adamw(
-        config.learning_rate, weight_decay=config.weight_decay
-    )
+    if config.lr_schedule == "cosine" or config.warmup_steps:
+        total = config.total_steps or max(config.warmup_steps + 1, 1000)
+        if config.lr_schedule == "cosine":
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=config.learning_rate,
+                warmup_steps=config.warmup_steps,
+                decay_steps=total,
+                end_value=config.learning_rate * 0.01,
+            )
+        else:
+            lr = optax.linear_schedule(
+                0.0, config.learning_rate, max(config.warmup_steps, 1)
+            )
+    else:
+        lr = config.learning_rate
+    tx = optax.adamw(lr, weight_decay=config.weight_decay)
     state = TrainState.create(
         apply_fn=model.apply,
         params=params,

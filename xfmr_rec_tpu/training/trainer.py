@@ -115,6 +115,19 @@ class Trainer:
             return
         self.data.prepare_data()
         self.data.setup()
+        if (
+            self.config.lr_schedule != "constant"
+            and self.config.total_steps is None
+        ):
+            # cosine decays over the full planned run; bound it by
+            # max_steps when set, else epochs x steps-per-epoch
+            planned = (
+                self.trainer_config.max_steps
+                or self.trainer_config.max_epochs * self.data.steps_per_epoch
+            )
+            self.config = self.config.model_copy(
+                update={"total_steps": max(int(planned), 1)}
+            )
         self.model, self.state = create_train_state(
             self.config, rng=self.trainer_config.seed
         )
