@@ -1,0 +1,109 @@
+"""One process of a simulated multi-host data-parallel training step.
+
+Usage: python runs/multihost_worker.py <process_id> <num_processes> <port>
+
+Each process exposes 4 virtual CPU devices; `jax.distributed.initialize`
+joins them into one 4*num_processes-device system, and the SAME mesh +
+sharded train step used on a single host runs globally — gradients
+all-reduce across process boundaries (the DCN path on real pods). This
+is the TPU-native counterpart of the reference's Ray multi-worker DDP
+(ray.py:105-124), validated in simulation by tests/test_multihost.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+
+    import jax
+
+    from xfmr_rec_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed(f"127.0.0.1:{port}", nproc, pid)
+    assert len(jax.local_devices()) == 4
+    assert jax.device_count() == 4 * nproc, jax.device_count()
+
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from xfmr_rec_tpu.parallel import create_mesh, make_sharded_train_step
+    from xfmr_rec_tpu.parallel.mesh import batch_spec
+    from xfmr_rec_tpu.training.module import (
+        TrainConfig,
+        create_train_state,
+    )
+
+    mesh = create_mesh(model_parallel=2)
+    config = TrainConfig(
+        vocab_size=300,
+        max_position_embeddings=16,
+        max_length=8,
+        compute_dtype="float32",
+    )
+    # identical rng on every process -> identical initial state; the
+    # replicated global arrays are assembled from the local copies
+    _, state = create_train_state(config, rng=0)
+    replicated = NamedSharding(mesh, P())
+    state = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            replicated, np.asarray(x)
+        ),
+        state,
+    )
+    step = make_sharded_train_step(config, mesh)
+
+    batch_size = 4 * jax.device_count()  # global
+    rng = np.random.default_rng(0)  # same batch derivation everywhere
+    full = {
+        "user_tokens": rng.integers(1, 300, (batch_size, 8)).astype(
+            np.int32
+        ),
+        "item_tokens": rng.integers(1, 300, (batch_size, 8)).astype(
+            np.int32
+        ),
+        "neg_item_tokens": rng.integers(1, 300, (batch_size, 8)).astype(
+            np.int32
+        ),
+        "target": rng.integers(1, 6, batch_size).astype(np.float32),
+        "item_idx": rng.integers(1, 100, 2 * batch_size).astype(np.int64),
+        "pos_idx": rng.integers(0, 100, (batch_size, 4)).astype(np.int64),
+        "log_q": rng.normal(size=2 * batch_size).astype(np.float32),
+    }
+    spec = batch_spec()
+    local = batch_size // nproc
+
+    def to_global(value):
+        sharding = NamedSharding(
+            mesh, P(*([spec[0]] + [None] * (value.ndim - 1)))
+        )
+        return jax.make_array_from_process_local_data(
+            sharding,
+            value[pid * local : (pid + 1) * local]
+            if value.shape[0] == batch_size
+            else value[
+                pid * (value.shape[0] // nproc) : (pid + 1)
+                * (value.shape[0] // nproc)
+            ],
+            value.shape,
+        )
+
+    batch = {k: to_global(v) for k, v in full.items()}
+    state, metrics = step(state, batch)
+    jax.block_until_ready(metrics)
+    loss = float(metrics["train/PairwiseHingeLoss"])
+    assert np.isfinite(loss)
+    assert int(state.step) == 1
+    print(f"OK pid={pid} devices={jax.device_count()} loss={loss:.6f}")
+
+
+if __name__ == "__main__":
+    main()
