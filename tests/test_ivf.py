@@ -154,3 +154,48 @@ class TestIVFIndex:
             exclude_ids=[[99999], []],
         )
         np.testing.assert_array_equal(base, got)
+
+    def test_spill_caps_bucket_on_skewed_corpus(self):
+        """One dominant direction -> one hot cluster; spill keeps the
+        dense bucket width near the cap and full probe stays exact."""
+        from xfmr_rec_tpu.index import exact_topk
+
+        rng = np.random.default_rng(9)
+        hot = normed(1, 16, seed=10)[0]
+        corpus = np.concatenate(
+            [
+                hot + 0.02 * rng.normal(size=(300, 16)),
+                rng.normal(size=(100, 16)),
+            ]
+        ).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+        idx = IVFIndex(
+            corpus, np.arange(400), num_clusters=16, dtype="float32"
+        )
+        cap = int(np.ceil(4.0 * 400 / 16))  # spill_factor * mean
+        assert idx.bucket_size <= cap
+        queries = normed(8, 16, seed=11)
+        scores, ids = idx.search(queries, top_k=10, nprobe=16)
+        want_s, _ = exact_topk(queries, corpus, 10)
+        np.testing.assert_allclose(
+            scores, np.asarray(want_s), rtol=1e-5, atol=1e-5
+        )
+
+    def test_spill_disabled_keeps_raw_assignment(self):
+        rng = np.random.default_rng(12)
+        hot = normed(1, 8, seed=13)[0]
+        corpus = np.concatenate(
+            [
+                hot + 0.02 * rng.normal(size=(60, 8)),
+                rng.normal(size=(20, 8)),
+            ]
+        ).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+        capped = IVFIndex(
+            corpus, np.arange(80), num_clusters=8, dtype="float32"
+        )
+        raw = IVFIndex(
+            corpus, np.arange(80), num_clusters=8, dtype="float32",
+            spill_factor=None,
+        )
+        assert raw.bucket_size >= capped.bucket_size

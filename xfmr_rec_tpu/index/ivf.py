@@ -124,6 +124,82 @@ def kmeans(
     return centroids, assigns[:num_items]
 
 
+def assign_with_spill(
+    corpus: Array,
+    centroids: Array,
+    cap: int,
+    *,
+    prefs: int = 8,
+    tile: int = 4096,
+) -> np.ndarray:
+    """Capacity-capped assignment: each item goes to its nearest centroid
+    with room, trying its top-`prefs` centroids in order (classic IVF
+    balancing). Skewed clusters otherwise set the dense bucket width for
+    the WHOLE layout (one hot cluster of 50k items = 50k-wide padded
+    buckets everywhere), which bloats probe gathers; spilled items land
+    in a near-by list, where a multi-cluster probe still finds them.
+
+    Returns the (N,) int32 placement. Items whose `prefs` preferred
+    clusters are all full stay with their fullest-preferred cluster
+    (soft overflow — the final bucket width absorbs it).
+    """
+    num_items, dim = corpus.shape
+    num_clusters = centroids.shape[0]
+    prefs = min(prefs, num_clusters)
+    pad = -num_items % tile
+    corpus_f = jnp.asarray(corpus, jnp.float32)
+    if pad:
+        corpus_f = jnp.pad(corpus_f, ((0, pad), (0, 0)))
+    tiles = corpus_f.reshape(-1, tile, dim)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def topk_centroids(tiles, centroids, k):
+        def body(_, ctile):
+            scores = jnp.dot(
+                ctile, centroids.T, preferred_element_type=jnp.float32
+            )
+            _, ids = jax.lax.top_k(scores, k)
+            return None, ids
+
+        _, ids = jax.lax.scan(body, None, tiles)
+        return ids.reshape(-1, k)
+
+    pref_ids = np.asarray(topk_centroids(tiles, centroids, prefs))[
+        :num_items
+    ]
+    # round-based vectorized greedy: at round r every still-unplaced item
+    # bids for its r-th preference; each cluster admits up to its
+    # remaining capacity in item order (no python-per-item loop — the
+    # sequential version took minutes at 1M items)
+    placement = np.full(num_items, -1, dtype=np.int32)
+    counts = np.zeros(num_clusters, dtype=np.int64)
+    for r in range(prefs):
+        unplaced = np.flatnonzero(placement < 0)
+        if unplaced.size == 0:
+            break
+        cand = pref_ids[unplaced, r]
+        order = np.argsort(cand, kind="stable")
+        sorted_c = cand[order]
+        # rank of each bid within its cluster group
+        first = np.r_[True, sorted_c[1:] != sorted_c[:-1]]
+        group_start = np.maximum.accumulate(
+            np.where(first, np.arange(sorted_c.size), 0)
+        )
+        rank = np.arange(sorted_c.size) - group_start
+        fits = rank < (cap - counts[sorted_c])
+        rows = unplaced[order[fits]]
+        placement[rows] = sorted_c[fits]
+        counts += np.bincount(
+            sorted_c[fits], minlength=num_clusters
+        )
+    leftovers = placement < 0
+    if leftovers.any():
+        # every preferred cluster full: soft overflow into the first
+        # choice (the final bucket width absorbs it)
+        placement[leftovers] = pref_ids[leftovers, 0]
+    return placement
+
+
 class IVFIndex:
     """Probe-based MIPS over a cluster-major bucket layout."""
 
@@ -135,6 +211,7 @@ class IVFIndex:
         num_clusters: int | None = None,
         nprobe: int = 8,
         kmeans_iters: int = 10,
+        spill_factor: float | None = 4.0,
         seed: int = 0,
         dtype: str = "bfloat16",
         _restore: dict | None = None,
@@ -162,6 +239,20 @@ class IVFIndex:
             )
             centroids = np.asarray(centroids)
             assign = np.asarray(assign)
+            if spill_factor is not None:
+                # cap the dense bucket width at spill_factor x the mean
+                # cluster size; overflow spills to next-nearest centroids
+                cap = max(
+                    1,
+                    int(np.ceil(spill_factor * num_items / num_clusters)),
+                )
+                counts = np.bincount(assign, minlength=num_clusters)
+                if counts.max() > cap:
+                    assign = assign_with_spill(
+                        jnp.asarray(embeddings),
+                        jnp.asarray(centroids),
+                        cap,
+                    )
         self._assign = assign
         counts = np.bincount(assign, minlength=self.num_clusters)
         bucket = max(int(counts.max()), 1)
