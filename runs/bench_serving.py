@@ -1,7 +1,8 @@
-"""Serving-path benchmark on the trained ML-1M model.
+"""Serving-path benchmark on the trained synthetic-ML1M model.
 
-Restores runs/ml1m-parity/ckpt/best, writes the deployable artifact,
-loads it through RecommenderEngine, and measures:
+Restores the best checkpoint of the flagship run (round 2:
+runs/ml1m-logistic-long, best val NDCG@20 0.0577), writes the
+deployable artifact, loads it through RecommenderEngine, and measures:
 - single-request recommend_with_user_id latency (sequential; includes
   the axon relay RTT — noted as such),
 - batched embed+search throughput (tokenize -> encode -> exact top-20),
@@ -14,8 +15,8 @@ import json
 import pathlib
 import time
 
-RUN_DIR = pathlib.Path("runs/ml1m-parity")
-ARTIFACT = pathlib.Path("artifacts/ml1m")
+RUN_DIR = pathlib.Path("runs/ml1m-logistic-long")
+ARTIFACT = pathlib.Path("artifacts/ml1m-logistic")
 
 
 def main() -> None:
@@ -32,7 +33,7 @@ def main() -> None:
         trainer = Trainer(
             TrainConfig.model_validate(cfg["model"]),
             DataConfig.model_validate(cfg["data"]),
-            TrainerConfig(**{**cfg["trainer"], "run_name": "ml1m-parity"}),
+            TrainerConfig(**cfg["trainer"]),
         )
         trainer.restore_checkpoint("best")
         trainer.save(ARTIFACT)
