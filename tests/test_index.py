@@ -433,3 +433,74 @@ class TestMetrics:
             top_k=1, prefix="val/",
         )
         assert "val/RetrievalNormalizedDCG" in m
+
+
+class TestPackedScanKernel:
+    """RetrievalIndex(scan_kernel='packed'): the search hot path on the
+    packed sweep."""
+
+    def _data(self, n=512, d=16, b=8, seed=61):
+        rng = np.random.default_rng(seed)
+        corpus = rng.normal(size=(n, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+        queries = rng.normal(size=(b, d)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+        return corpus, queries
+
+    def test_matches_f32_kernel_sets(self):
+        corpus, queries = self._data()
+        ids = np.arange(1, 513)
+        f32 = RetrievalIndex(corpus, ids, dtype="float32", method="scan")
+        pk = RetrievalIndex(
+            corpus, ids, dtype="float32", method="scan",
+            scan_kernel="packed",
+        )
+        _, want = f32.search(queries, top_k=7)
+        scores, got = pk.search(queries, top_k=7)
+        ref = queries @ corpus.T
+        for b in range(8):
+            # same id sets modulo quantum ties: compare true-score sets
+            ws = np.sort(ref[b][want[b] - 1])
+            gs = np.sort(ref[b][got[b] - 1])
+            np.testing.assert_allclose(gs, ws, atol=1e-4)
+            # decoded scores are quantum floors of the true scores
+            assert (
+                np.sort(scores[b])[::-1]
+                <= np.sort(ref[b][got[b] - 1])[::-1] + 1e-6
+            ).all()
+
+    def test_exclusions_respected(self):
+        corpus, queries = self._data(seed=62)
+        pk = RetrievalIndex(
+            corpus, np.arange(1, 513), dtype="float32", method="scan",
+            scan_kernel="packed",
+        )
+        _, base = pk.search(queries[:4], top_k=5)
+        exclude = [row[:3].tolist() for row in base]
+        _, got = pk.search(queries[:4], top_k=5, exclude_ids=exclude)
+        for b in range(4):
+            assert not set(exclude[b]) & set(got[b].tolist())
+
+    def test_int8_packed_scan(self):
+        corpus, queries = self._data(seed=63)
+        pk = RetrievalIndex(
+            corpus, np.arange(1, 513), dtype="int8",
+            scan_kernel="packed",
+        )
+        scores, ids = pk.search(queries, top_k=5)
+        dequant = (
+            np.asarray(pk.corpus, np.float32)
+            * np.asarray(pk._scales)[0][:, None]
+        )
+        ref = queries @ dequant.T
+        for b in range(8):
+            want = np.sort(ref[b])[::-1][:5]
+            got = np.sort(ref[b][ids[b] - 1])[::-1]
+            np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-3)
+
+    def test_unknown_scan_kernel_raises(self):
+        corpus, _ = self._data()
+        with pytest.raises(ValueError, match="scan_kernel"):
+            RetrievalIndex(
+                corpus, np.arange(1, 513), scan_kernel="magic"
+            )

@@ -705,3 +705,95 @@ class TestPackedMergeAndBias:
             interpret=True,
         )
         assert not np.asarray(exact).any()
+
+
+class TestPackedExcluding:
+    def _normed(self, b, n, d, seed=0):
+        rng = np.random.default_rng(seed)
+        q = rng.normal(size=(b, d)).astype(np.float32)
+        c = rng.normal(size=(n, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        return q, c
+
+    def test_matches_dense_excluding(self):
+        from xfmr_rec_tpu.index.mips import exact_topk
+        from xfmr_rec_tpu.ops.topk_pallas import packed_topk_excluding
+
+        q, c = self._normed(B, N, D, seed=51)
+        rng = np.random.default_rng(52)
+        excl = rng.integers(0, N, (B, 6)).astype(np.int32)
+        scores, pos = packed_topk_excluding(
+            q, c, K, exclude_positions=excl, score_bound=1.0, **TILE
+        )
+        want_s, want_p = exact_topk(q, c, K, exclude_positions=excl)
+        for b in range(B):
+            got = set(np.asarray(pos[b]).tolist())
+            assert not got & set(excl[b].tolist())
+            # N=512 <= pool: coverage is exhaustive -> same sets modulo
+            # quantum ties
+            dense = (q[b] @ c.T)
+            np.testing.assert_allclose(
+                np.sort(dense[np.asarray(pos[b])])[::-1],
+                np.asarray(want_s[b]),
+                atol=1e-4,
+            )
+
+    def test_no_exclusions_matches_packed_topk(self):
+        from xfmr_rec_tpu.ops.topk_pallas import (
+            packed_certified_topk,
+            packed_topk_excluding,
+        )
+
+        q, c = self._normed(B, N, D, seed=53)
+        s1, p1 = packed_topk_excluding(q, c, K, score_bound=1.0, **TILE)
+        s2, p2, _ = packed_certified_topk(
+            q, c, K, score_bound=1.0, merge_levels=1,
+            recompute_scores=False, **TILE,
+        )
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    def test_exact_scores_option(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_topk_excluding
+
+        q, c = self._normed(B, N, D, seed=54)
+        scores, pos = packed_topk_excluding(
+            q, c, K, score_bound=1.0, recompute_scores=True, **TILE
+        )
+        dense = q @ c.T
+        for b in range(B):
+            np.testing.assert_allclose(
+                np.asarray(scores[b]),
+                dense[b][np.asarray(pos[b])],
+                rtol=1e-5,
+            )
+
+    def test_pool_exhaustion_raises(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_topk_excluding
+
+        q, c = self._normed(4, 4096, 8, seed=55)
+        excl = np.zeros((4, 120), np.int32)
+        with pytest.raises(ValueError, match="pool"):
+            packed_topk_excluding(
+                q, c, 20, exclude_positions=excl, score_bound=1.0,
+                batch_tile=4, corpus_tile=64, interpret=True,
+            )
+
+    def test_int8_scales_excluding(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_topk_excluding
+
+        q, c = self._normed(8, 256, 16, seed=56)
+        scale = np.abs(c).max(axis=1) / 127.0
+        c_q = np.clip(np.round(c / scale[:, None]), -127, 127).astype(
+            np.int8
+        )
+        excl = np.arange(8)[:, None].astype(np.int32) * np.ones(
+            (8, 2), np.int32
+        )
+        scores, pos = packed_topk_excluding(
+            q, c_q, 5, exclude_positions=excl, scales=scale,
+            score_bound=1.0, batch_tile=8, corpus_tile=128,
+            interpret=True,
+        )
+        for b in range(8):
+            assert b not in np.asarray(pos[b]).tolist()

@@ -1074,6 +1074,99 @@ def packed_certified_topk(
     return scores, positions, exact
 
 
+def packed_topk_excluding(
+    queries: Array,
+    corpus: Array,
+    k: int,
+    *,
+    exclude_positions: Array | None = None,
+    score_bound: float | Array = 1.0,
+    true_num_items: int | None = None,
+    batch_tile: int = DEFAULT_BATCH_TILE,
+    corpus_tile: int = DEFAULT_CORPUS_TILE,
+    merge_levels: int = 1,
+    bias_in_dot: bool = False,
+    scales: Array | None = None,
+    recompute_scores: bool = False,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """Packed-key top-k with per-row exclusions (the `search` hot path).
+
+    Same slack strategy as `scan_topk_excluding`: fetch k + E
+    candidates from the packed buffer, zero the keys at excluded
+    positions, take the final top-k — E exclusions can never push a
+    wanted item out of the fetch. Same pool-exhaustion guard; no
+    exactness certificate is returned (parity with the f32 excluding
+    path). Scores are quantum-floor decodes by default or exact f32
+    with recompute_scores=True.
+    """
+    batch = queries.shape[0]
+    batch_tile = min(batch_tile, _round_up(batch, 8))
+    pad_rows = -batch % batch_tile
+    if pad_rows:
+        queries = jnp.pad(queries, ((0, pad_rows), (0, 0)))
+        if exclude_positions is not None:
+            exclude_positions = jnp.pad(
+                exclude_positions, ((0, pad_rows), (0, 0))
+            )
+    slack = 0 if exclude_positions is None else exclude_positions.shape[1]
+    ct = min(corpus_tile, corpus.shape[0])
+    while merge_levels and 2 * (ct >> merge_levels) < k + slack:
+        merge_levels -= 1
+    pool = 2 * (ct >> merge_levels)
+    if slack and k + slack > pool and corpus.shape[0] > pool:
+        msg = (
+            f"exclusion width {slack} + {k=} exceeds the packed candidate "
+            f"pool (2 slots x {ct >> merge_levels} merged lanes = {pool}); "
+            "raise corpus_tile or use the dense method"
+        )
+        raise ValueError(msg)
+    fetch = min(k + slack, pool)
+    num_tiles = corpus.shape[0] // ct
+    idx_bits = max((num_tiles - 1).bit_length(), 1)
+    keys, positions, _ = packed_certified_parts(
+        queries,
+        corpus,
+        fetch,
+        score_bound=score_bound,
+        batch_tile=batch_tile,
+        corpus_tile=corpus_tile,
+        idx_bits=idx_bits,
+        merge_levels=merge_levels,
+        bias_in_dot=bias_in_dot,
+        true_num_items=true_num_items,
+        scales=scales,
+        interpret=interpret,
+    )
+    if exclude_positions is not None:
+        hit = jnp.any(
+            positions[:, :, None] == exclude_positions[:, None, :],
+            axis=-1,
+        )
+        keys = jnp.where(hit, 0, keys)
+    top_keys, sel = jax.lax.top_k(keys, k)
+    top_pos = jnp.take_along_axis(positions, sel, axis=-1)
+    # masked/exhausted keys are 0; stamped padding keys can reach
+    # (1 << merge_levels) - 1 — both are below any real key
+    real = top_keys > (1 << merge_levels) - 1
+    if recompute_scores:
+        c = corpus[:, :-1] if bias_in_dot else corpus
+        scores = exact_scores_at(queries, c, top_pos, scales=scales)
+        scores = jnp.where(real, scores, NEG_INF)
+    else:
+        scores = jnp.where(
+            real,
+            decode_scores(
+                top_keys,
+                idx_bits=idx_bits,
+                score_bound=score_bound,
+                reserve_bits=merge_levels,
+            ),
+            NEG_INF,
+        )
+    return scores[:batch], top_pos[:batch]
+
+
 def certified_topk_parts(
     queries: Array,
     corpus: Array,
