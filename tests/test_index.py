@@ -504,3 +504,17 @@ class TestPackedScanKernel:
             RetrievalIndex(
                 corpus, np.arange(1, 513), scan_kernel="magic"
             )
+
+    def test_scan_kernel_persists_through_save_load(self, tmp_path):
+        corpus, queries = self._data(seed=64)
+        pk = RetrievalIndex(
+            corpus, np.arange(1, 513), dtype="float32", method="scan",
+            scan_kernel="packed",
+        )
+        pk.save(tmp_path / "pk")
+        loaded = RetrievalIndex.load(tmp_path / "pk")
+        assert loaded.scan_kernel == "packed"
+        np.testing.assert_array_equal(
+            pk.search(queries, top_k=5)[1],
+            loaded.search(queries, top_k=5)[1],
+        )

@@ -803,6 +803,7 @@ class RetrievalIndex:
             "dtype": self.dtype,
             "chunk_size": self.chunk_size,
             "method": self.method,
+            "scan_kernel": self.scan_kernel,
             "metadata": self.metadata,
         }
         (path / "index.json").write_text(json.dumps(meta))
@@ -820,4 +821,5 @@ class RetrievalIndex:
             dtype=meta["dtype"],
             chunk_size=meta["chunk_size"],
             method=meta.get("method", "dense"),
+            scan_kernel=meta.get("scan_kernel", "f32"),
         )
