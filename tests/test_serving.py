@@ -233,3 +233,36 @@ class TestIVFEngine:
 
         with _pytest.raises(ValueError, match="index_kind"):
             RecommenderEngine(artifact, warmup=False, index_kind="hnsw")
+
+
+class TestMetricsLabelSafety:
+    def test_unknown_paths_collapse_to_one_label(self, service):
+        import threading
+        import urllib.request
+
+        from xfmr_rec_tpu.serving.service import make_server
+
+        server = make_server(service, port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            port = server.server_address[1]
+            for path in ('x"y}', "scanner1", "scanner2", "a/b/c"):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/{path}",
+                    data=b"{}",
+                    method="POST",
+                )
+                try:
+                    urllib.request.urlopen(req).read()
+                except urllib.error.HTTPError:
+                    pass
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics"
+            ) as resp:
+                text = resp.read().decode()
+            assert 'endpoint="_unknown",status="404"} 4' in text
+            assert "scanner1" not in text
+            assert '"y}' not in text.replace('status="404"}', "")
+        finally:
+            server.shutdown()

@@ -331,6 +331,34 @@ class RecDataModule:
     def steps_per_epoch(self) -> int:
         return len(self.train_user_pos) // self.config.batch_size
 
+    def _assemble_loss_batch(
+        self,
+        upos: np.ndarray,
+        ipos: np.ndarray,
+        target: np.ndarray,
+        pos_table: np.ndarray,
+        sampler: NegativeItemSampler,
+    ) -> dict[str, np.ndarray]:
+        """One loss-step batch (train and eval share this schema — keep
+        them byte-identical so val losses measure the same quantity)."""
+        neg_pos = sampler.draw(len(upos))
+        item_idx = np.concatenate([ipos, neg_pos]) + 1  # movie_rn
+        log_q = np.concatenate(
+            [
+                self.item_log_q_inbatch[ipos],
+                self.item_log_q_uniform[neg_pos],
+            ]
+        )
+        return {
+            "user_tokens": self.user_tokens[upos],
+            "item_tokens": self.item_tokens[ipos],
+            "neg_item_tokens": self.item_tokens[neg_pos],
+            "target": target,
+            "item_idx": item_idx.astype(np.int64),
+            "pos_idx": pos_table[upos],
+            "log_q": log_q,
+        }
+
     def train_batches(self, epoch: int = 0) -> Iterator[dict[str, np.ndarray]]:
         """Shuffled fixed-shape training batches with MNS negatives."""
         cfg = self.config
@@ -339,25 +367,13 @@ class RecDataModule:
         batch = cfg.batch_size
         for start in range(0, len(order) - batch + 1, batch):
             take = order[start : start + batch]
-            upos = self.train_user_pos[take]
-            ipos = self.train_item_pos[take]
-            neg_pos = self._neg_sampler.draw(batch)
-            item_idx = np.concatenate([ipos, neg_pos]) + 1  # movie_rn
-            log_q = np.concatenate(
-                [
-                    self.item_log_q_inbatch[ipos],
-                    self.item_log_q_uniform[neg_pos],
-                ]
+            yield self._assemble_loss_batch(
+                self.train_user_pos[take],
+                self.train_item_pos[take],
+                self.train_rating[take],
+                self.user_pos_idx,
+                self._neg_sampler,
             )
-            yield {
-                "user_tokens": self.user_tokens[upos],
-                "item_tokens": self.item_tokens[ipos],
-                "neg_item_tokens": self.item_tokens[neg_pos],
-                "target": self.train_rating[take],
-                "item_idx": item_idx.astype(np.int64),
-                "pos_idx": self.user_pos_idx[upos],
-                "log_q": log_q,
-            }
 
     def eval_interaction_batches(
         self, subset: str = "val"
@@ -367,33 +383,27 @@ class RecDataModule:
 
         Deterministic: a fixed-order pass over the subset's holdout
         ratings with a freshly seeded negative stream, so val/test loss
-        curves are comparable across validations.
+        curves are comparable across validations. A subset smaller than
+        one batch is wrap-filled to a single full batch (rows repeat)
+        rather than silently yielding nothing; the trailing partial
+        batch of larger subsets is dropped (static jit shapes).
         """
         cfg = self.config
         upos_all, ipos_all, rating_all = self._holdout_interactions[subset]
         sampler = NegativeItemSampler(self.num_items, seed=cfg.seed + 1)
         batch = cfg.batch_size
-        for start in range(0, len(upos_all) - batch + 1, batch):
-            take = slice(start, start + batch)
-            upos = upos_all[take]
-            ipos = ipos_all[take]
-            neg_pos = sampler.draw(batch)
-            item_idx = np.concatenate([ipos, neg_pos]) + 1  # movie_rn
-            log_q = np.concatenate(
-                [
-                    self.item_log_q_inbatch[ipos],
-                    self.item_log_q_uniform[neg_pos],
-                ]
+        indices = np.arange(len(upos_all))
+        if 0 < indices.size < batch:
+            indices = np.resize(indices, batch)
+        for start in range(0, len(indices) - batch + 1, batch):
+            take = indices[start : start + batch]
+            yield self._assemble_loss_batch(
+                upos_all[take],
+                ipos_all[take],
+                rating_all[take],
+                self.user_holdout_pos_idx,
+                sampler,
             )
-            yield {
-                "user_tokens": self.user_tokens[upos],
-                "item_tokens": self.item_tokens[ipos],
-                "neg_item_tokens": self.item_tokens[neg_pos],
-                "target": rating_all[take],
-                "item_idx": item_idx.astype(np.int64),
-                "pos_idx": self.user_holdout_pos_idx[upos],
-                "log_q": log_q,
-            }
 
     # ------------------------------------------------------------------
     def eval_users(self, subset: str) -> np.ndarray:

@@ -667,15 +667,9 @@ class RetrievalIndex:
         exclude_positions: np.ndarray | Array | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched search. Returns (scores (B, k), item_ids (B, k))."""
-        queries_f32 = np.asarray(
-            jnp.asarray(queries, jnp.float32)
-            if isinstance(queries, Array)
-            else np.asarray(queries, np.float32)
-        )
-        queries = jnp.asarray(queries_f32, dtype=self._query_dtype)
+        queries = jnp.asarray(queries, dtype=self._query_dtype)
         if queries.ndim == 1:
             queries = queries[None, :]
-            queries_f32 = queries_f32[None, :]
         if exclude_positions is None:
             if exclude_ids is not None:
                 exclude_positions = jnp.asarray(self.positions_of(exclude_ids))
@@ -684,10 +678,15 @@ class RetrievalIndex:
                     (queries.shape[0], 1), len(self.ids), dtype=jnp.int32
                 )
         if self.method == "scan" and self.scan_kernel == "packed":
-            qnorm = float(np.linalg.norm(queries_f32, axis=-1).max())
-            bound = jnp.float32(
-                max(self._corpus_maxnorm * qnorm * 1.05, 1e-6)
+            # score bound ON DEVICE: a host qnorm here would force a
+            # device->host sync per call and serialize async eval
+            # pipelines (queries often arrive as live device arrays)
+            qnorm = jnp.max(
+                jnp.linalg.norm(queries.astype(jnp.float32), axis=-1)
             )
+            bound = jnp.maximum(
+                self._corpus_maxnorm * qnorm * 1.05, 1e-6
+            ).astype(jnp.float32)
             scores, positions = self._search_fn(
                 queries,
                 exclude_positions,

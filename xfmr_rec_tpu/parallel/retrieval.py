@@ -24,6 +24,40 @@ from xfmr_rec_tpu.parallel.mesh import MODEL_AXIS
 NEG_INF = float("-inf")
 
 
+def _validate_shard_geometry(
+    corpus_rows: int, num_model: int, k: int
+) -> int:
+    """Shared guard: corpus divisibility + candidate-pool width.
+
+    Returns local_n. The merged candidate pool is num_model *
+    min(k, local_n) wide; a k beyond that (tiny per-shard corpora)
+    would crash inside lax.top_k with an opaque shape error."""
+    if corpus_rows % num_model:
+        msg = f"corpus rows {corpus_rows} % mesh '{MODEL_AXIS}' != 0"
+        raise ValueError(msg)
+    local_n = corpus_rows // num_model
+    if k > num_model * min(k, local_n):
+        msg = (
+            f"k={k} exceeds the merged candidate pool "
+            f"{num_model} shards x min(k, local_n={local_n}) = "
+            f"{num_model * min(k, local_n)}; reduce k or use fewer shards"
+        )
+        raise ValueError(msg)
+    return local_n
+
+
+def _gather_merge(local_vals, local_pos, k, batch):
+    """All-gather the (B, local_k) shard candidates over the model axis
+    and take the global top-k — the shared merge epilogue."""
+    all_vals = jax.lax.all_gather(local_vals, MODEL_AXIS)
+    all_pos = jax.lax.all_gather(local_pos, MODEL_AXIS)
+    all_vals = all_vals.transpose(1, 0, 2).reshape(batch, -1)
+    all_pos = all_pos.transpose(1, 0, 2).reshape(batch, -1)
+    top_vals, merge_arg = jax.lax.top_k(all_vals, k)
+    top_pos = jnp.take_along_axis(all_pos, merge_arg, axis=-1)
+    return top_vals, top_pos
+
+
 def sharded_topk(
     queries: Array,
     corpus: Array,
@@ -45,15 +79,8 @@ def sharded_topk(
         (scores (B, k), positions (B, k)) — global positions, replicated.
     """
     num_model = mesh.shape[MODEL_AXIS]
-    local_n = corpus.shape[0] // num_model
+    local_n = _validate_shard_geometry(corpus.shape[0], num_model, k)
     local_k = min(k, local_n)
-    if k > num_model * local_k:
-        msg = (
-            f"k={k} exceeds the merged candidate pool "
-            f"{num_model} shards x min(k, local_n={local_n}) = "
-            f"{num_model * local_k}; reduce k or use fewer shards"
-        )
-        raise ValueError(msg)
 
     has_exclusions = exclude_positions is not None
     if not has_exclusions:
@@ -82,13 +109,7 @@ def sharded_topk(
         local_scores, local_arg = jax.lax.top_k(scores, local_k)
         local_pos = jnp.take_along_axis(positions, local_arg, axis=-1)
         # (m, B, local_k) candidates -> merged (B, k)
-        all_scores = jax.lax.all_gather(local_scores, MODEL_AXIS)
-        all_pos = jax.lax.all_gather(local_pos, MODEL_AXIS)
-        all_scores = all_scores.transpose(1, 0, 2).reshape(batch, -1)
-        all_pos = all_pos.transpose(1, 0, 2).reshape(batch, -1)
-        top_scores, merge_arg = jax.lax.top_k(all_scores, k)
-        top_pos = jnp.take_along_axis(all_pos, merge_arg, axis=-1)
-        return top_scores, top_pos
+        return _gather_merge(local_scores, local_pos, k, batch)
 
     return inner(queries, corpus, exclude_positions)
 
@@ -123,20 +144,7 @@ def sharded_certified_topk(
     from xfmr_rec_tpu.ops import topk_pallas as tk
 
     num_model = mesh.shape[MODEL_AXIS]
-    local_n = corpus.shape[0] // num_model
-    if corpus.shape[0] % num_model:
-        msg = f"corpus rows {corpus.shape[0]} % mesh '{MODEL_AXIS}' != 0"
-        raise ValueError(msg)
-    if k > num_model * min(k, local_n):
-        # the merged candidate pool is num_model * min(k, local_n) wide;
-        # a k beyond that (tiny per-shard corpora) would crash inside
-        # lax.top_k with an opaque shape error
-        msg = (
-            f"k={k} exceeds the merged candidate pool "
-            f"{num_model} shards x min(k, local_n={local_n}) = "
-            f"{num_model * min(k, local_n)}; reduce k or use fewer shards"
-        )
-        raise ValueError(msg)
+    local_n = _validate_shard_geometry(corpus.shape[0], num_model, k)
     batch = queries.shape[0]
     bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, batch)
     ct = corpus_tile or tk.pick_corpus_tile(local_n, corpus.shape[1])
@@ -169,12 +177,9 @@ def sharded_certified_topk(
         local_scores, local_arg = jax.lax.top_k(vals, local_k)
         offset = jax.lax.axis_index(MODEL_AXIS) * local_n
         local_pos = offset + jnp.take_along_axis(pos, local_arg, axis=-1)
-        all_scores = jax.lax.all_gather(local_scores, MODEL_AXIS)
-        all_pos = jax.lax.all_gather(local_pos, MODEL_AXIS)
-        all_scores = all_scores.transpose(1, 0, 2).reshape(q.shape[0], -1)
-        all_pos = all_pos.transpose(1, 0, 2).reshape(q.shape[0], -1)
-        top_scores, merge_arg = jax.lax.top_k(all_scores, k)
-        top_pos = jnp.take_along_axis(all_pos, merge_arg, axis=-1)
+        top_scores, top_pos = _gather_merge(
+            local_scores, local_pos, k, q.shape[0]
+        )
         tau = top_scores[:, k - 1]
         global_dmax = jax.lax.pmax(dmax[:, 0], MODEL_AXIS)
         # <=: score-multiset exactness, same convention as the
@@ -218,17 +223,7 @@ def sharded_packed_certified_topk(
     from xfmr_rec_tpu.ops import topk_pallas as tk
 
     num_model = mesh.shape[MODEL_AXIS]
-    local_n = corpus.shape[0] // num_model
-    if corpus.shape[0] % num_model:
-        msg = f"corpus rows {corpus.shape[0]} % mesh '{MODEL_AXIS}' != 0"
-        raise ValueError(msg)
-    if k > num_model * min(k, local_n):
-        msg = (
-            f"k={k} exceeds the merged candidate pool "
-            f"{num_model} shards x min(k, local_n={local_n}) = "
-            f"{num_model * min(k, local_n)}; reduce k or use fewer shards"
-        )
-        raise ValueError(msg)
+    local_n = _validate_shard_geometry(corpus.shape[0], num_model, k)
     batch = queries.shape[0]
     bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, batch)
     ct = corpus_tile or tk.pick_corpus_tile(local_n, corpus.shape[1])
@@ -268,12 +263,7 @@ def sharded_packed_certified_topk(
         )
         offset = jax.lax.axis_index(MODEL_AXIS) * local_n
         local_pos = offset + local_pos
-        all_keys = jax.lax.all_gather(local_keys, MODEL_AXIS)
-        all_pos = jax.lax.all_gather(local_pos, MODEL_AXIS)
-        all_keys = all_keys.transpose(1, 0, 2).reshape(batch, -1)
-        all_pos = all_pos.transpose(1, 0, 2).reshape(batch, -1)
-        top_keys, merge_arg = jax.lax.top_k(all_keys, k)
-        top_pos = jnp.take_along_axis(all_pos, merge_arg, axis=-1)
+        top_keys, top_pos = _gather_merge(local_keys, local_pos, k, batch)
         tau = top_keys[:, k - 1]
         global_dmax = jax.lax.pmax(dmax, MODEL_AXIS)
         exact = jnp.logical_and(

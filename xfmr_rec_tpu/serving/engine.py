@@ -16,6 +16,7 @@ Components mirror the reference service decomposition:
 from __future__ import annotations
 
 import json
+import logging
 import pathlib
 from typing import Any
 
@@ -33,6 +34,8 @@ from xfmr_rec_tpu.serving.schemas import (
     Query,
     UserQuery,
 )
+
+logger = logging.getLogger(__name__)
 
 
 def _activity_list(raw: Any) -> list[dict]:
@@ -102,10 +105,24 @@ class RecommenderEngine:
         if index_kind == "ivf":
             from xfmr_rec_tpu.index.ivf import IVFIndex
 
-            corpus = np.asarray(self.index.corpus, np.float32)
-            if self.index._scales is not None:
-                corpus = corpus * np.asarray(self.index._scales)[0][:, None]
-            self.ivf = IVFIndex(corpus, self.index.ids, nprobe=nprobe)
+            ivf_dir = path / "ivf"
+            if (ivf_dir / "ivf.npz").exists():
+                # k-means + bucket layout are expensive at load time
+                # (device Lloyd iterations + O(N) layout); reuse the
+                # cached build from a previous boot
+                self.ivf = IVFIndex.load(ivf_dir)
+                self.ivf.nprobe = nprobe
+            else:
+                corpus = np.asarray(self.index.corpus, np.float32)
+                if self.index._scales is not None:
+                    corpus = (
+                        corpus * np.asarray(self.index._scales)[0][:, None]
+                    )
+                self.ivf = IVFIndex(corpus, self.index.ids, nprobe=nprobe)
+                try:
+                    self.ivf.save(ivf_dir)
+                except OSError:  # read-only artifact dir: rebuild next boot
+                    logger.warning("could not cache IVF index to %s", ivf_dir)
 
         import pandas as pd
 

@@ -312,8 +312,12 @@ class _Handler(BaseHTTPRequestHandler):
             logger.exception("error handling %s", endpoint)
             self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
         finally:
+            # label safety: unknown paths collapse to one fixed label
+            # (no unbounded cardinality from scanner spam, no label
+            # escaping surprises in the exposition format)
+            label = endpoint if endpoint in _ENDPOINTS else "_unknown"
             self.metrics.observe(
-                endpoint, status, time.perf_counter() - start
+                label, status, time.perf_counter() - start
             )
 
     def do_GET(self) -> None:  # noqa: N802 — http.server API

@@ -120,10 +120,14 @@ class Trainer:
             and self.config.total_steps is None
         ):
             # cosine decays over the full planned run; bound it by
-            # max_steps when set, else epochs x steps-per-epoch
+            # max_steps when set, else epochs x the ACTUAL per-epoch
+            # batch count (limit_train_batches included — otherwise a
+            # limited run executes a fraction of the schedule and never
+            # decays)
             planned = (
                 self.trainer_config.max_steps
-                or self.trainer_config.max_epochs * self.data.steps_per_epoch
+                or self.trainer_config.max_epochs
+                * self._num_train_batches()
             )
             self.config = self.config.model_copy(
                 update={"total_steps": max(int(planned), 1)}
