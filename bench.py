@@ -21,7 +21,8 @@ Reference points measured on the same chip/shapes (see BENCH_NOTES.md):
   XLA approx_max_k(recall=0.95)      : ~52k qps
   uncertified scan, slots=1          : ~255k qps (recall 97.6%)
   f32 certified (discard, 1 sweep)   : ~145k qps (round-1 headline)
-  packed-key certified (this config) : ~204k qps
+  packed-key certified, B=2048       : ~262-277k qps
+  this config (merge+bias, B=4096)   : ~306k qps
 
 Timing harness notes: inputs vary per call (4 query batches cycled) and
 the run drains through a host transfer of the result — through the axon
@@ -41,7 +42,7 @@ import numpy as np
 
 CORPUS_SIZE = 1_048_576  # 1M items
 DIM = 64
-BATCH = 2048
+BATCH = 4096
 TOP_K = 100
 BATCH_TILE = 512
 CORPUS_TILE = 2048
