@@ -104,6 +104,67 @@ def main() -> None:
     assert int(state.step) == 1
     print(f"OK pid={pid} devices={jax.device_count()} loss={loss:.6f}")
 
+    # --- sharded retrieval across process boundaries (VERDICT r2 #8) --
+    # The corpus shards over the "model" mesh axis, which spans BOTH
+    # processes here, so the all-gather candidate merge and the pmax
+    # certificate reduction cross the process boundary (the DCN path on
+    # real pods).
+    from xfmr_rec_tpu.parallel.retrieval import (
+        sharded_packed_certified_topk,
+        sharded_topk,
+    )
+
+    n_items, dim, top_k = 256, 16, 10
+    rng2 = np.random.default_rng(1)  # identical on every process
+    corpus = rng2.normal(size=(n_items, dim)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+    queries = rng2.normal(size=(8, dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+
+    corpus_g = jax.make_array_from_callback(
+        corpus.shape,
+        NamedSharding(mesh, P("model", None)),
+        lambda idx: corpus[idx],
+    )
+    queries_g = jax.make_array_from_callback(
+        queries.shape, replicated, lambda idx: queries[idx]
+    )
+    scores, positions = sharded_topk(queries_g, corpus_g, top_k, mesh)
+    dense = queries @ corpus.T
+    want_pos = np.argsort(-dense, axis=-1)[:, :top_k]
+    got_pos = np.asarray(positions)
+    for b in range(len(queries)):
+        assert set(got_pos[b]) == set(want_pos[b]), (
+            f"sharded_topk row {b} mismatch"
+        )
+    np.testing.assert_allclose(
+        np.asarray(scores),
+        np.take_along_axis(dense, got_pos, axis=-1),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+    pscores, ppos, pexact = sharded_packed_certified_topk(
+        queries_g,
+        corpus_g,
+        top_k,
+        mesh,
+        score_bound=1.0,
+        batch_tile=8,
+        corpus_tile=64,
+    )
+    pexact = np.asarray(pexact)
+    ppos = np.asarray(ppos)
+    assert pexact.any(), "no row certified across the 2-process mesh"
+    for b in np.flatnonzero(pexact):
+        want = np.sort(dense[b])[-top_k:]
+        got = np.sort(dense[b][ppos[b]])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+    print(
+        f"OK-RETRIEVAL pid={pid} certified={int(pexact.sum())}/"
+        f"{len(pexact)}"
+    )
+
 
 if __name__ == "__main__":
     main()

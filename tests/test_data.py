@@ -369,3 +369,59 @@ class TestProvenance:
         record = record_provenance(tmp_path, source="downloaded")
         assert record["matches_real_ml1m"] is True
         assert record["dataset_label"] == "MovieLens-1M"
+
+
+class TestVocabTokenizerPipeline:
+    """tokenizer="vocab" end-to-end: setup, caching, batch shapes."""
+
+    @pytest.fixture(scope="class")
+    def dm(self, data_dir):
+        dm = RecDataModule(
+            DataConfig(
+                data_dir=data_dir,
+                batch_size=8,
+                max_length=16,
+                vocab_size=512,
+                oov_buckets=32,
+                tokenizer="vocab",
+            )
+        )
+        dm.setup()
+        return dm
+
+    def test_vocab_built_and_cached(self, dm, data_dir):
+        import pathlib
+
+        from xfmr_rec_tpu.models.tokenizer import VocabTokenizer
+
+        assert isinstance(dm.tokenizer, VocabTokenizer)
+        cache = pathlib.Path(data_dir, "ml-1m", "vocab-512-32-16.json")
+        assert cache.exists()
+        # a second module reloads the cached vocab with identical ids
+        dm2 = RecDataModule(
+            DataConfig(
+                data_dir=data_dir,
+                max_length=16,
+                vocab_size=512,
+                oov_buckets=32,
+                tokenizer="vocab",
+            )
+        )
+        dm2.setup()
+        np.testing.assert_array_equal(dm.item_tokens, dm2.item_tokens)
+
+    def test_common_corpus_tokens_in_vocab(self, dm):
+        # frequent corpus tokens must encode below the OOV range
+        ids = dm.tokenizer.encode_batch(dm.item_texts[:20])
+        known = (ids > 1) & (ids < dm.tokenizer.oov_start)
+        assert known.any()
+
+    def test_train_batches_shaped_like_hashing(self, dm):
+        batch = next(dm.train_batches(0))
+        assert batch["user_tokens"].shape == (8, 16)
+        assert batch["item_tokens"].dtype == np.int32
+        assert int(batch["item_tokens"].max()) < 512
+
+    def test_unknown_tokenizer_rejected(self, data_dir):
+        with pytest.raises(ValueError, match="tokenizer"):
+            RecDataModule(DataConfig(data_dir=data_dir, tokenizer="wordpiece"))

@@ -199,3 +199,52 @@ class TestIVFIndex:
             spill_factor=None,
         )
         assert raw.bucket_size >= capped.bucket_size
+
+
+def clustered(n, d, centers=8, seed=0):
+    rng = np.random.default_rng(seed)
+    mu = normed(centers, d, seed=seed + 1)
+    pts = mu[rng.integers(0, centers, n)] + 0.15 * rng.normal(
+        size=(n, d)
+    ).astype(np.float32)
+    pts = pts.astype(np.float32)
+    return pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+
+
+class TestRecallGuardrail:
+    def test_recall_probe_high_on_clustered_corpus(self):
+        corpus = clustered(600, 16, centers=6, seed=3)
+        index = IVFIndex(
+            corpus, np.arange(1, 601), num_clusters=12, nprobe=4, seed=0
+        )
+        recall = index.recall_probe(top_k=10, num_queries=64, seed=0)
+        assert recall > 0.85
+
+    def test_recall_probe_detects_unclusterable_corpus(self):
+        corpus = normed(800, 32, seed=4)  # uniform: worst case for IVF
+        index = IVFIndex(corpus, np.arange(1, 801), nprobe=1, seed=0)
+        recall = index.recall_probe(top_k=10, num_queries=64, seed=0)
+        # full probe would be 1.0; nprobe=1 on uniform must fall well below
+        assert recall < 0.8
+
+    def test_recall_probe_full_nprobe_is_perfect(self):
+        corpus = normed(300, 16, seed=5)
+        index = IVFIndex(
+            corpus, np.arange(1, 301), nprobe=4, spill_factor=None, seed=0,
+            dtype="float32",  # bf16 buckets re-order near-ties vs exact
+        )
+        recall = index.recall_probe(
+            top_k=10, nprobe=index.num_clusters, num_queries=32, seed=1
+        )
+        assert recall == pytest.approx(1.0)
+
+
+class TestSavedEmbeddingsPrecision:
+    def test_save_persists_f32_not_bucket_dtype(self, tmp_path):
+        corpus = normed(200, 24, seed=6)
+        index = IVFIndex(corpus, np.arange(1, 201), dtype="bfloat16")
+        index.save(tmp_path / "ivf")
+        arrays = np.load(tmp_path / "ivf" / "ivf.npz")
+        # byte-identical to the build-time f32 corpus (a reconstruction
+        # from the bf16 buckets would round ~half the mantissa away)
+        np.testing.assert_array_equal(arrays["embeddings"], corpus)

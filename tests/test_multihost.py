@@ -63,5 +63,12 @@ def test_two_process_train_step_agrees():
         assert ok_lines, out[-2000:]
         assert "devices=8" in ok_lines[0]
         losses.add(ok_lines[0].split("loss=")[1])
+        # sharded retrieval crossed the process boundary and its
+        # certified rows matched the dense reference (asserted in the
+        # worker; the marker proves the code path ran on both workers)
+        retrieval_lines = [
+            ln for ln in out.splitlines() if ln.startswith("OK-RETRIEVAL ")
+        ]
+        assert retrieval_lines, out[-2000:]
     # both workers computed the SAME globally-reduced loss
     assert len(losses) == 1

@@ -84,3 +84,82 @@ class TestNativeParity:
         python_path(tok, texts, 64)
         python_time = time.perf_counter() - t0
         assert native_time < python_time
+
+
+class TestVocabTokenizer:
+    """Corpus-vocab tokenizer: python/native parity + persistence."""
+
+    def _tok(self, **kwargs):
+        from xfmr_rec_tpu.models.tokenizer import VocabTokenizer
+
+        vocab = ["the", "story", "toy", "comedy", "animation", "1995",
+                 "children's", "f", "m", "age"]
+        return VocabTokenizer(
+            vocab,
+            TokenizerConfig(vocab_size=64, max_length=16, **kwargs),
+        )
+
+    def test_known_tokens_get_rank_ids(self):
+        tok = self._tok()
+        ids = tok.encode("the toy story")
+        # CLS, then rank ids (NUM_RESERVED + rank)
+        assert ids[0] == 1
+        assert list(ids[1:4]) == [2, 2 + 2, 2 + 1]
+
+    def test_oov_tokens_hash_into_tail_buckets(self):
+        tok = self._tok()
+        ids = tok.encode("zzzzz qqqqq")
+        assert (ids[1:3] >= tok.oov_start).all()
+        assert (ids[1:3] < tok.config.vocab_size).all()
+        # deterministic
+        np.testing.assert_array_equal(ids, tok.encode("zzzzz qqqqq"))
+
+    def test_native_matches_python(self):
+        tok = self._tok()
+        texts = [
+            "The Toy Story (1995) comedy",
+            "unknown wørds éverywhere",
+            "don't can't o' age AGE",
+            "",
+            "a" * 200,
+        ]
+        want = np.stack([tok.encode(t, 16) for t in texts])
+        assert tok._get_native() is not None, "native path must load"
+        got = tok.encode_batch(texts, 16)
+        np.testing.assert_array_equal(got, want)
+
+    def test_save_load_round_trip(self, tmp_path):
+        from xfmr_rec_tpu.models.tokenizer import VocabTokenizer
+
+        tok = self._tok()
+        tok.save(tmp_path / "vocab.json")
+        tok2 = VocabTokenizer.load(tmp_path / "vocab.json")
+        texts = ["the story of a toy", "novel words"]
+        np.testing.assert_array_equal(
+            tok.encode_batch(texts), tok2.encode_batch(texts)
+        )
+
+    def test_build_vocab_frequency_ranked(self):
+        from xfmr_rec_tpu.models.tokenizer import build_vocab
+
+        vocab = build_vocab(
+            ["b b b a a c", "a d", "b"], vocab_size=8, oov_buckets=2
+        )
+        # top (8 - 2 reserved - 2 oov) = 4 by count desc, ties lexicographic
+        assert vocab == ["b", "a", "c", "d"]
+
+    def test_rejects_num_hashes(self):
+        from xfmr_rec_tpu.models.tokenizer import VocabTokenizer
+
+        with pytest.raises(ValueError, match="num_hashes"):
+            VocabTokenizer(
+                ["a"], TokenizerConfig(vocab_size=8, num_hashes=2)
+            )
+
+    def test_rejects_vocab_larger_than_id_space(self):
+        from xfmr_rec_tpu.models.tokenizer import VocabTokenizer
+
+        with pytest.raises(ValueError, match="OOV"):
+            VocabTokenizer(
+                [f"t{i}" for i in range(7)], TokenizerConfig(vocab_size=8)
+            )

@@ -2,6 +2,8 @@
 
 import json
 import threading
+
+import numpy as np
 import urllib.request
 
 import pytest
@@ -266,3 +268,107 @@ class TestMetricsLabelSafety:
             assert '"y}' not in text.replace('status="404"}', "")
         finally:
             server.shutdown()
+
+
+class TestVocabArtifact:
+    """tokenizer="vocab" round-trips through the deployable artifact."""
+
+    @pytest.fixture(scope="class")
+    def vocab_artifact(self, tmp_path_factory):
+        data_dir = tmp_path_factory.mktemp("vocabdata")
+        generate_movielens(
+            data_dir, num_users=25, num_movies=60, num_ratings=500, seed=5
+        )
+        prepare_movielens(str(data_dir), overwrite=True)
+        dm = RecDataModule(
+            DataConfig(
+                data_dir=str(data_dir),
+                batch_size=8,
+                max_length=16,
+                vocab_size=500,
+                oov_buckets=32,
+                tokenizer="vocab",
+            )
+        )
+        trainer = Trainer(
+            TrainConfig(**TINY_MODEL),
+            data=dm,
+            trainer_config=TrainerConfig(
+                max_steps=2,
+                log_dir=str(tmp_path_factory.mktemp("vocabruns")),
+                limit_val_batches=1,
+            ),
+        )
+        trainer.fit()
+        path = tmp_path_factory.mktemp("vocabartifact") / "model"
+        trainer.save(path)
+        return path, dm
+
+    def test_vocab_ships_in_artifact(self, vocab_artifact):
+        path, _ = vocab_artifact
+        assert (path / "vocab.json").exists()
+
+    def test_engine_tokenizes_byte_identically(self, vocab_artifact):
+        from xfmr_rec_tpu.models.tokenizer import VocabTokenizer
+
+        path, dm = vocab_artifact
+        engine = RecommenderEngine(path, warmup=False)
+        assert isinstance(engine.tokenizer, VocabTokenizer)
+        texts = dm.item_texts[:10]
+        np.testing.assert_array_equal(
+            engine.tokenizer.encode_batch(texts, 16),
+            dm.tokenizer.encode_batch(texts, 16),
+        )
+
+    def test_engine_serves_recommendations(self, vocab_artifact):
+        path, _ = vocab_artifact
+        engine = RecommenderEngine(path, warmup=False)
+        out = engine.search_items(
+            Query(text='{"title":"Movie 3 (1995)"}'), top_k=5
+        )
+        assert len(out) == 5
+
+
+class TestIVFCacheInvalidation:
+    """Retraining into the same artifact dir must rebuild the IVF
+    (ADVICE round 2: a stale cached IVF would probe the previous
+    model's clusters)."""
+
+    def test_fingerprint_mismatch_triggers_rebuild(self, artifact):
+        engine = RecommenderEngine(artifact, warmup=False, index_kind="ivf")
+        assert (artifact / "ivf" / "fingerprint.json").exists()
+        first_centroids = np.asarray(engine.ivf.centroids).copy()
+        # simulate a re-export: perturb the saved corpus in place
+        corpus_file = artifact / "index" / "corpus.npz"
+        arrays = dict(np.load(corpus_file, allow_pickle=False))
+        rng = np.random.default_rng(0)
+        arrays["embeddings"] = (
+            arrays["embeddings"] + rng.normal(
+                scale=0.5, size=arrays["embeddings"].shape
+            ).astype(np.float32)
+        )
+        np.savez(corpus_file, **arrays)
+        engine2 = RecommenderEngine(artifact, warmup=False, index_kind="ivf")
+        # the IVF was rebuilt from the new corpus, not loaded from cache
+        assert not np.allclose(
+            np.asarray(engine2.ivf.centroids), first_centroids
+        )
+
+    def test_matching_fingerprint_reuses_cache(self, artifact):
+        engine = RecommenderEngine(artifact, warmup=False, index_kind="ivf")
+        centroids = np.asarray(engine.ivf.centroids).copy()
+        engine2 = RecommenderEngine(artifact, warmup=False, index_kind="ivf")
+        np.testing.assert_array_equal(
+            np.asarray(engine2.ivf.centroids), centroids
+        )
+
+    def test_low_recall_enforcement_raises(self, artifact):
+        with pytest.raises(RuntimeError, match="recall"):
+            RecommenderEngine(
+                artifact,
+                warmup=False,
+                index_kind="ivf",
+                nprobe=1,
+                ivf_min_recall=1.01,  # unreachable: always trips
+                ivf_enforce_recall=True,
+            )

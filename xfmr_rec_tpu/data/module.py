@@ -48,6 +48,12 @@ class DataConfig(pydantic.BaseModel):
     eval_batch_size: int = 256
     max_length: int = 64
     vocab_size: int = 30522
+    # "hashing" = stateless feature hashing (no vocab file, supports
+    # num_hashes>1 Bloom ids); "vocab" = corpus-frequency vocab built at
+    # setup (the reference's learned-WordPiece capability, models.py:23,
+    # without the blocked download) with FNV-hashed OOV buckets.
+    tokenizer: str = "hashing"
+    oov_buckets: int = 2048
     # pos_idx / target padding widths. None (default) = corpus-derived at
     # setup(): the max per-user count, so NO user's accidental-hit mask or
     # recall denominator is ever truncated (the reference masks the user's
@@ -110,11 +116,19 @@ class RecDataModule:
         if config is None:
             config = DataConfig(**kwargs)
         self.config = DataConfig.model_validate(config)
-        self.tokenizer = HashingTokenizer(
-            TokenizerConfig(
-                vocab_size=self.config.vocab_size,
-                max_length=self.config.max_length,
+        if self.config.tokenizer not in ("hashing", "vocab"):
+            msg = f"unknown tokenizer {self.config.tokenizer!r}"
+            raise ValueError(msg)
+        # the vocab tokenizer needs the corpus texts: built in setup()
+        self.tokenizer = (
+            HashingTokenizer(
+                TokenizerConfig(
+                    vocab_size=self.config.vocab_size,
+                    max_length=self.config.max_length,
+                )
             )
+            if self.config.tokenizer == "hashing"
+            else None
         )
         self._ready = False
         self.provenance: dict | None = None
@@ -176,6 +190,12 @@ class RecDataModule:
         movies = pd.read_parquet(base / "movies.parquet")
         users = pd.read_parquet(base / "users.parquet")
         ratings = pd.read_parquet(base / "ratings.parquet")
+
+        if self.tokenizer is None:  # tokenizer="vocab": corpus-built
+            self.tokenizer = self._build_vocab_tokenizer(
+                base,
+                movies["movie_text"].tolist() + users["user_text"].tolist(),
+            )
 
         # items: position p corresponds to movie_rn p+1 (row-number order)
         movies = movies.sort_values("movie_rn").reset_index(drop=True)
@@ -325,6 +345,42 @@ class RecDataModule:
             self.num_items,
             len(self.train_user_pos),
         )
+
+    def _build_vocab_tokenizer(self, base: pathlib.Path, texts: list[str]):
+        """Build (or reload) the corpus-frequency vocab tokenizer.
+
+        The vocab is cached next to the parquet files keyed by its
+        shape parameters, so repeated setups (HPO trials, serving
+        artifact rebuilds) don't re-count the corpus.
+        """
+        from xfmr_rec_tpu.models.tokenizer import (
+            VocabTokenizer,
+            build_vocab,
+        )
+
+        cfg = self.config
+        cache = base / (
+            f"vocab-{cfg.vocab_size}-{cfg.oov_buckets}-{cfg.max_length}.json"
+        )
+        if cache.exists():
+            return VocabTokenizer.load(cache)
+        vocab = build_vocab(
+            texts, vocab_size=cfg.vocab_size, oov_buckets=cfg.oov_buckets
+        )
+        tokenizer = VocabTokenizer(
+            vocab,
+            TokenizerConfig(
+                vocab_size=cfg.vocab_size, max_length=cfg.max_length
+            ),
+        )
+        tokenizer.save(cache)
+        logger.info(
+            "built corpus vocab: %d tokens + %d OOV buckets (cached %s)",
+            len(vocab),
+            tokenizer.oov_buckets,
+            cache.name,
+        )
+        return tokenizer
 
     # ------------------------------------------------------------------
     @property

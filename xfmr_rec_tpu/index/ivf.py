@@ -220,6 +220,11 @@ class IVFIndex:
         self.ids = np.asarray(ids)
         num_items, dim = embeddings.shape
         self.nprobe = nprobe
+        # keep the build-time f32 corpus: save() persists these exact
+        # vectors (the bucket layout stores the serving dtype — re-saving
+        # from buckets would quantize the persisted corpus to bf16,
+        # ADVICE round 2) and recall_probe() scores against them
+        self._embeddings_f32 = embeddings
         if _restore is not None:
             centroids = _restore["centroids"]
             assign = _restore["assign"]
@@ -380,24 +385,57 @@ class IVFIndex:
         )
         return np.asarray(scores), item_ids
 
+    def recall_probe(
+        self,
+        *,
+        top_k: int = 10,
+        nprobe: int | None = None,
+        num_queries: int = 256,
+        seed: int = 0,
+    ) -> float:
+        """Measured recall@k of the probe path vs exhaustive search.
+
+        Samples corpus points, perturbs them slightly (realistic
+        near-duplicate queries), and compares the probe's top-k position
+        sets against an exact dense top-k over the build-time f32
+        corpus. Cheap (one dense matmul over `num_queries` rows) and
+        runs at build/load time so an unclusterable corpus can't
+        silently serve 0.2-recall results (uniform random corpora
+        measure ~0.21 at the reference-default nprobe=8 —
+        BENCH_NOTES round 2).
+        """
+        rng = np.random.default_rng(seed)
+        n = self._num_items
+        num_queries = min(num_queries, n)
+        take = rng.choice(n, num_queries, replace=False)
+        queries = self._embeddings_f32[take]
+        noise = rng.normal(scale=0.1, size=queries.shape).astype(np.float32)
+        queries = queries + noise * np.linalg.norm(
+            queries, axis=-1, keepdims=True
+        )
+        queries /= np.maximum(
+            np.linalg.norm(queries, axis=-1, keepdims=True), 1e-12
+        )
+        k = min(top_k, n)
+        exact_scores = queries @ self._embeddings_f32.T
+        exact_top = np.argpartition(-exact_scores, k - 1, axis=1)[:, :k]
+        _, got_ids = self.search(queries, top_k=k, nprobe=nprobe)
+        exact_ids = self.ids[exact_top]
+        hits = sum(
+            len(np.intersect1d(got_ids[i], exact_ids[i], assume_unique=False))
+            for i in range(num_queries)
+        )
+        return hits / (num_queries * k)
+
     # -- persistence ------------------------------------------------------
     def save(self, path: str | pathlib.Path) -> None:
         path = pathlib.Path(path)
         path.mkdir(parents=True, exist_ok=True)
-        # store the dense corpus once (bucket layout is rebuilt on load
-        # from the saved assignment — cheaper than storing the padding)
-        dense = np.zeros(
-            (self._num_items, self.buckets.shape[-1]), np.float32
-        )
-        pos = np.asarray(self.positions).reshape(-1)
-        rows = np.asarray(self.buckets, np.float32).reshape(
-            -1, self.buckets.shape[-1]
-        )
-        keep = pos < self._num_items
-        dense[pos[keep]] = rows[keep]
+        # the build-time f32 corpus, NOT a reconstruction from the
+        # serving-dtype buckets (which would persist bf16-rounded rows)
         np.savez(
             path / "ivf.npz",
-            embeddings=dense,
+            embeddings=self._embeddings_f32,
             ids=self.ids,
             centroids=np.asarray(self.centroids),
             assign=self._assign,

@@ -132,7 +132,7 @@ class RetrievalIndex:
         dtype: str = "bfloat16",
         chunk_size: int | None = None,
         method: str = "dense",
-        scan_kernel: str = "f32",
+        scan_kernel: str = "packed",
     ) -> None:
         if embeddings.shape[0] != len(ids):
             msg = "embeddings and ids must align"
@@ -173,15 +173,23 @@ class RetrievalIndex:
                 .max(initial=0.0)
             )
         else:
-            # bf16 corpus in device memory: halves HBM traffic vs f32
+            # bf16 corpus in device memory: halves HBM traffic vs f32.
+            # maxnorm reduces ON DEVICE so a device-resident embeddings
+            # array (Trainer.build_index keeps the re-embed on device)
+            # never round-trips to host here
             self.corpus = jnp.asarray(embeddings, dtype=dtype)
             self._scales = None
             self._query_dtype = self.corpus.dtype
-            self._corpus_maxnorm = float(
-                np.linalg.norm(
-                    np.asarray(embeddings, np.float32), axis=1
-                ).max(initial=0.0)
-            )
+            if self.corpus.shape[0]:
+                self._corpus_maxnorm = float(
+                    jnp.max(
+                        jnp.linalg.norm(
+                            jnp.asarray(embeddings, jnp.float32), axis=1
+                        )
+                    )
+                )
+            else:
+                self._corpus_maxnorm = 0.0
         self.method = method
         self._ids_dev = jnp.asarray(self.ids.astype(np.int32))
         # NOTE: the corpus is always passed as a jit ARGUMENT, never a

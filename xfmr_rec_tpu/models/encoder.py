@@ -61,11 +61,31 @@ class ModelConfig(pydantic.BaseModel):
     normalize: bool = True
     layer_norm_eps: float = 1e-12
     dropout_rate: float = 0.1
+    # Parameter init: None = flax defaults (lecun_normal kernels,
+    # fan-in-scaled embeddings); a float = BERT-style normal(std) for
+    # every kernel/embedding (the reference's transformers init,
+    # BertConfig.initializer_range default 0.02 — the scheme the
+    # reference's trained lr 1e-4 was chosen for; quality comparison in
+    # BENCH_NOTES round 3).
+    initializer_range: float | None = 0.02
     compute_dtype: Literal["float32", "bfloat16"] = "bfloat16"
     max_length: int = 64
     embedding_type: Literal["dense", "hash", "bloom"] = "dense"
     num_hashes: int = 2
     num_buckets: int = 4096
+
+
+def _kernel_init(cfg: "ModelConfig"):
+    """BERT-style normal(initializer_range) or the flax default."""
+    if cfg.initializer_range is None:
+        return nn.linear.default_kernel_init
+    return nn.initializers.normal(cfg.initializer_range)
+
+
+def _embed_init(cfg: "ModelConfig"):
+    if cfg.initializer_range is None:
+        return nn.linear.default_embed_init
+    return nn.initializers.normal(cfg.initializer_range)
 
 
 def _activation(name: str):
@@ -91,11 +111,21 @@ class CompressedEmbed(nn.Module):
     features: int
     mode: str  # "hash" | "bloom"
     dtype: jnp.dtype = jnp.float32
+    embedding_init: object | None = None
 
     @nn.compact
     def __call__(self, ids: Array) -> Array:
+        kwargs = (
+            {"embedding_init": self.embedding_init}
+            if self.embedding_init is not None
+            else {}
+        )
         buckets = nn.Embed(
-            self.num_buckets, self.features, dtype=self.dtype, name="buckets"
+            self.num_buckets,
+            self.features,
+            dtype=self.dtype,
+            name="buckets",
+            **kwargs,
         )
         mults = jnp.asarray(
             _REHASH_MULTIPLIERS[: self.num_hashes], dtype=jnp.uint32
@@ -130,10 +160,14 @@ class TransformerLayer(nn.Module):
         cfg = self.config
         num_heads = cfg.num_attention_heads
         head_dim = cfg.hidden_size // num_heads
+        kinit = _kernel_init(cfg)
 
         def proj(name):
             return nn.DenseGeneral(
-                (num_heads, head_dim), dtype=self.dtype, name=name
+                (num_heads, head_dim),
+                dtype=self.dtype,
+                kernel_init=kinit,
+                name=name,
             )
 
         q = proj("query")(hidden)
@@ -149,7 +183,11 @@ class TransformerLayer(nn.Module):
         )
         context = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         attn_out = nn.DenseGeneral(
-            cfg.hidden_size, axis=(-2, -1), dtype=self.dtype, name="attn_out"
+            cfg.hidden_size,
+            axis=(-2, -1),
+            dtype=self.dtype,
+            kernel_init=kinit,
+            name="attn_out",
         )(context)
         attn_out = nn.Dropout(cfg.dropout_rate)(
             attn_out, deterministic=deterministic
@@ -158,11 +196,16 @@ class TransformerLayer(nn.Module):
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attn_norm"
         )(hidden + attn_out)
 
-        ffn = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="ffn_in")(
-            hidden
-        )
+        ffn = nn.Dense(
+            cfg.intermediate_size,
+            dtype=self.dtype,
+            kernel_init=kinit,
+            name="ffn_in",
+        )(hidden)
         ffn = _activation(cfg.hidden_act)(ffn)
-        ffn = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="ffn_out")(ffn)
+        ffn = nn.Dense(
+            cfg.hidden_size, dtype=self.dtype, kernel_init=kinit, name="ffn_out"
+        )(ffn)
         ffn = nn.Dropout(cfg.dropout_rate)(ffn, deterministic=deterministic)
         return nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="ffn_norm"
@@ -182,7 +225,11 @@ class TextEncoder(nn.Module):
 
         if cfg.embedding_type == "dense":
             embeds = nn.Embed(
-                cfg.vocab_size, cfg.hidden_size, dtype=dtype, name="word_embed"
+                cfg.vocab_size,
+                cfg.hidden_size,
+                dtype=dtype,
+                embedding_init=_embed_init(cfg),
+                name="word_embed",
             )(token_ids)
         else:
             embeds = CompressedEmbed(
@@ -192,6 +239,11 @@ class TextEncoder(nn.Module):
                 features=cfg.hidden_size,
                 mode=cfg.embedding_type,
                 dtype=dtype,
+                embedding_init=(
+                    nn.initializers.normal(cfg.initializer_range)
+                    if cfg.initializer_range is not None
+                    else None
+                ),
                 name="word_embed",
             )(token_ids)
 
@@ -201,6 +253,7 @@ class TextEncoder(nn.Module):
             cfg.max_position_embeddings,
             cfg.hidden_size,
             dtype=dtype,
+            embedding_init=_embed_init(cfg),
             name="position_embed",
         )(positions)
         hidden = nn.LayerNorm(
@@ -229,9 +282,12 @@ class TextEncoder(nn.Module):
             return hidden[:, 0]
         if cfg.pooling_mode == "pooler":
             return jnp.tanh(
-                nn.Dense(cfg.hidden_size, dtype=dtype, name="pooler")(
-                    hidden[:, 0]
-                )
+                nn.Dense(
+                    cfg.hidden_size,
+                    dtype=dtype,
+                    kernel_init=_kernel_init(cfg),
+                    name="pooler",
+                )(hidden[:, 0])
             )
         if cfg.pooling_mode == "max":
             masked = jnp.where(mask[..., None], hidden, -jnp.inf)

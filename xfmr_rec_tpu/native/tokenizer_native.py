@@ -48,9 +48,88 @@ def _load() -> ctypes.CDLL:
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
         lib.encode_batch.restype = None
-        assert lib.tokenizer_abi_version() == 1
+        lib.vocab_create.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+        ]
+        lib.vocab_create.restype = ctypes.c_void_p
+        lib.vocab_destroy.argtypes = [ctypes.c_void_p]
+        lib.vocab_destroy.restype = None
+        lib.vocab_encode_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        lib.vocab_encode_batch.restype = None
+        assert lib.tokenizer_abi_version() == 2
         _lib = lib
         return lib
+
+
+class VocabHandle:
+    """Owns a native vocab map; freed when garbage-collected."""
+
+    def __init__(self, lib: ctypes.CDLL, ptr: int) -> None:
+        self._lib = lib
+        self._ptr = ptr
+
+    def __del__(self) -> None:  # noqa: D105
+        if getattr(self, "_ptr", None):
+            self._lib.vocab_destroy(self._ptr)
+            self._ptr = None
+
+
+def _pack(strings: list[str]) -> tuple[bytes, np.ndarray]:
+    encoded = [s.encode("utf-8") for s in strings]
+    blob = b"".join(encoded)
+    offsets = np.zeros(len(strings) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    return blob, offsets
+
+
+def vocab_create(vocab: list[str]) -> VocabHandle:
+    """Build the native token->id map once (rank order = id order)."""
+    lib = _load()
+    blob, offsets = _pack(vocab)
+    ptr = lib.vocab_create(blob, offsets, len(vocab))
+    return VocabHandle(lib, ptr)
+
+
+def vocab_encode_batch(
+    handle: VocabHandle,
+    texts: list[str],
+    *,
+    max_length: int,
+    oov_start: int,
+    oov_buckets: int,
+    lowercase: bool,
+    add_cls: bool,
+) -> np.ndarray:
+    """Texts -> (n, max_length) int32, 0-padded, vocab-id encoded."""
+    lib = _load()
+    blob, offsets = _pack(texts)
+    out = np.zeros((len(texts), max_length), dtype=np.int32)
+    lib.vocab_encode_batch(
+        handle._ptr,
+        blob,
+        offsets,
+        len(texts),
+        max_length,
+        oov_start,
+        oov_buckets,
+        int(lowercase),
+        int(add_cls),
+        out,
+    )
+    return out
 
 
 def encode_batch(

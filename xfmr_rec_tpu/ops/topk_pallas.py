@@ -1343,6 +1343,13 @@ def packed_guaranteed_topk(
     uncertified — the guarantee contract is unchanged, only the
     fallback rate grows.
     """
+    true_batch = queries.shape[0]
+    batch_tile = min(batch_tile, _round_up(true_batch, 8))
+    pad_rows = -true_batch % batch_tile
+    if pad_rows:
+        # zero queries tie every item at one key, so padding rows
+        # certify trivially and never consume retry slots
+        queries = jnp.pad(queries, ((0, pad_rows), (0, 0)))
     batch = queries.shape[0]
     ct = min(corpus_tile, corpus.shape[0])
     num_tiles = corpus.shape[0] // ct
@@ -1355,6 +1362,7 @@ def packed_guaranteed_topk(
     if retry_width is None:
         retry_width = max(64, batch // 8)
     retry_width = min(retry_width, batch)
+    retry_width = _round_up(retry_width, 8)
 
     def sweep(q, shuffle):
         return packed_certified_parts(
@@ -1420,4 +1428,4 @@ def packed_guaranteed_topk(
             score_bound=score_bound,
             reserve_bits=merge_levels,
         )
-    return scores, positions, exact
+    return scores[:true_batch], positions[:true_batch], exact[:true_batch]

@@ -65,6 +65,8 @@ class RecommenderEngine:
         warmup: bool = True,
         index_kind: str = "exact",
         nprobe: int = 8,
+        ivf_min_recall: float = 0.5,
+        ivf_enforce_recall: bool = False,
     ) -> None:
         from flax import serialization
 
@@ -73,16 +75,22 @@ class RecommenderEngine:
         self.manifest = manifest
         self.model_config = ModelConfig.model_validate(manifest["model"])
         data_config = manifest.get("data", {})
-        self.tokenizer = HashingTokenizer(
-            TokenizerConfig(
-                vocab_size=data_config.get(
-                    "vocab_size", self.model_config.vocab_size
-                ),
-                max_length=data_config.get(
-                    "max_length", self.model_config.max_length
-                ),
-            )
+        tokenizer_config = TokenizerConfig(
+            vocab_size=data_config.get(
+                "vocab_size", self.model_config.vocab_size
+            ),
+            max_length=data_config.get(
+                "max_length", self.model_config.max_length
+            ),
         )
+        if data_config.get("tokenizer", "hashing") == "vocab":
+            # corpus-trained vocab shipped inside the artifact
+            # (Trainer.save); byte-identical encoding to training
+            from xfmr_rec_tpu.models.tokenizer import VocabTokenizer
+
+            self.tokenizer = VocabTokenizer.load(path / "vocab.json")
+        else:
+            self.tokenizer = HashingTokenizer(tokenizer_config)
         self.model = TextEncoder(self.model_config)
         dummy = np.zeros((1, self.tokenizer.config.max_length), np.int32)
         template = self.model.init(
@@ -103,16 +111,35 @@ class RecommenderEngine:
         self.index_kind = index_kind
         self.ivf = None
         if index_kind == "ivf":
+            import hashlib
+
             from xfmr_rec_tpu.index.ivf import IVFIndex
 
             ivf_dir = path / "ivf"
-            if (ivf_dir / "ivf.npz").exists():
+            # fingerprint the exact corpus the IVF would be built from:
+            # retraining into the same artifact dir overwrites
+            # index/corpus.npz in place, and a cached IVF from the
+            # previous model's embeddings would silently serve stale
+            # clusters (ADVICE round 2)
+            corpus_fp = hashlib.sha256(
+                (path / "index" / "corpus.npz").read_bytes()
+            ).hexdigest()
+            fp_file = ivf_dir / "fingerprint.json"
+            cached_fp = None
+            if fp_file.exists():
+                cached_fp = json.loads(fp_file.read_text()).get("corpus_sha256")
+            if (ivf_dir / "ivf.npz").exists() and cached_fp == corpus_fp:
                 # k-means + bucket layout are expensive at load time
                 # (device Lloyd iterations + O(N) layout); reuse the
                 # cached build from a previous boot
                 self.ivf = IVFIndex.load(ivf_dir)
                 self.ivf.nprobe = nprobe
             else:
+                if (ivf_dir / "ivf.npz").exists():
+                    logger.warning(
+                        "cached IVF was built from a different corpus "
+                        "(artifact re-exported?); rebuilding"
+                    )
                 corpus = np.asarray(self.index.corpus, np.float32)
                 if self.index._scales is not None:
                     corpus = (
@@ -121,8 +148,30 @@ class RecommenderEngine:
                 self.ivf = IVFIndex(corpus, self.index.ids, nprobe=nprobe)
                 try:
                     self.ivf.save(ivf_dir)
+                    fp_file.write_text(
+                        json.dumps({"corpus_sha256": corpus_fp})
+                    )
                 except OSError:  # read-only artifact dir: rebuild next boot
                     logger.warning("could not cache IVF index to %s", ivf_dir)
+            # recall guardrail (VERDICT round 2 #10): measure the probe
+            # path's recall@10 vs exhaustive on sampled queries so an
+            # unclusterable corpus can't silently serve ~0.2-recall
+            # results at the configured nprobe
+            recall = self.ivf.recall_probe(top_k=10, nprobe=nprobe)
+            self.ivf_probe_recall = recall
+            if recall < ivf_min_recall:
+                msg = (
+                    f"IVF probe recall@10 = {recall:.2f} at nprobe={nprobe} "
+                    f"(threshold {ivf_min_recall}) — this corpus does not "
+                    "cluster well; raise nprobe or use index_kind='exact'"
+                )
+                if ivf_enforce_recall:
+                    raise RuntimeError(msg)
+                logger.warning(msg)
+            else:
+                logger.info(
+                    "IVF probe recall@10 = %.3f at nprobe=%d", recall, nprobe
+                )
 
         import pandas as pd
 

@@ -290,8 +290,20 @@ class Trainer:
         out = self._encode(self.state.params, tokens)
         return out[:-pad] if pad else out
 
-    def _encode_rows(self, tokens: np.ndarray) -> np.ndarray:
-        """Encode a token matrix in fixed-size batches (pad last batch)."""
+    def _encode_rows(
+        self, tokens: np.ndarray, *, as_numpy: bool = True
+    ) -> np.ndarray:
+        """Encode a token matrix in fixed-size batches (pad last batch).
+
+        Pipelined: every chunk is dispatched asynchronously (device
+        slices, no per-chunk host sync) and the result transfers ONCE at
+        the end — the reference's eval barrier re-embeds the corpus
+        through a per-batch python loop (data/lightning.py:183-235);
+        round 2 of this trainer still blocked on np.asarray per chunk.
+        Measured at 1M items (runs/bench_reembed.py): see BENCH_NOTES
+        round 3. `as_numpy=False` keeps the embeddings on device (the
+        index build casts them there anyway).
+        """
         batch = self.trainer_config.encode_batch_size
         if self.mesh is not None:  # keep chunk shapes mesh-divisible
             batch += -batch % self.mesh.size
@@ -300,14 +312,27 @@ class Trainer:
             chunk = tokens[start : start + batch]
             pad = batch - len(chunk)
             if pad:
-                chunk = np.concatenate([chunk, np.zeros((pad, chunk.shape[1]), chunk.dtype)])
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, chunk.shape[1]), chunk.dtype)]
+                )
             out = self._encode(self.state.params, chunk)
-            outs.append(np.asarray(out)[: batch - pad if pad else batch])
-        return np.concatenate(outs) if outs else np.zeros((0, self.config.hidden_size))
+            outs.append(out[: batch - pad] if pad else out)
+        if not outs:
+            return np.zeros((0, self.config.hidden_size), np.float32)
+        result = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+        return np.asarray(result) if as_numpy else result
 
     def build_index(self) -> RetrievalIndex:
-        """Embed the full item corpus -> exact MIPS index (eval barrier)."""
-        corpus = self._encode_rows(self.data.item_tokens)
+        """Embed the full item corpus -> exact MIPS index (eval barrier).
+
+        The corpus embeddings stay on device end-to-end (pipelined
+        encode -> device concat -> index cast); int8 indexes need the
+        host quantization pass, so only that path transfers.
+        """
+        corpus = self._encode_rows(
+            self.data.item_tokens,
+            as_numpy=self.config.index_dtype == "int8",
+        )
         metadata = [
             {"movie_text": text, "movie_rn": int(rn)}
             for text, rn in zip(self.data.item_texts, self.data.item_rns)
@@ -326,13 +351,15 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             num_model = self.mesh.shape["model"]
-            pad = -len(corpus) % num_model
+            corpus_host = np.asarray(corpus, dtype=np.float32)
+            pad = -len(corpus_host) % num_model
             padded = (
-                np.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
+                np.pad(corpus_host, ((0, pad), (0, 0)))
+                if pad
+                else corpus_host
             )
             self._sharded_corpus = jax.device_put(
-                padded.astype(np.float32),
-                NamedSharding(self.mesh, P("model", None)),
+                padded, NamedSharding(self.mesh, P("model", None))
             )
             self._sharded_corpus_pad = pad
         return self.index
@@ -595,5 +622,9 @@ class Trainer:
         if self.index is None:
             self.build_index()
         self.index.save(path / "index")
+        # corpus-trained vocab rides the artifact so serving tokenizes
+        # byte-identically (tokenizer="vocab" only; hashing is stateless)
+        if hasattr(self.data.tokenizer, "vocab"):
+            self.data.tokenizer.save(path / "vocab.json")
         # user table for id-based serving lookups
         self.data.users_frame.to_parquet(path / "users.parquet", index=False)
