@@ -372,3 +372,30 @@ class TestIVFCacheInvalidation:
                 ivf_min_recall=1.01,  # unreachable: always trips
                 ivf_enforce_recall=True,
             )
+
+
+class TestTextSearch:
+    """BM25 FTS over items AND users (reference builds FTS indexes on
+    both tables — data/lightning.py:221,286-304)."""
+
+    def test_item_text_search(self, service):
+        hits = service.search_items_text("title genres", top_k=5)
+        assert hits
+        assert all("movie_id" in h and h["score"] > 0 for h in hits)
+
+    def test_user_text_search(self, service):
+        # user_text is JSON with gender/occupation fields
+        hits = service.search_users_text("gender", top_k=5)
+        assert hits
+        assert all("user_id" in h and h["score"] > 0 for h in hits)
+
+    def test_user_text_search_no_match(self, service):
+        assert service.search_users_text("zzzzqqqq", top_k=5) == []
+
+    def test_http_dispatch(self, service):
+        from xfmr_rec_tpu.serving.service import dispatch
+
+        out = dispatch(
+            service, "search_users_text", {"query": "gender", "top_k": 3}
+        )
+        assert isinstance(out, list)

@@ -1016,3 +1016,80 @@ class TestMergeKeep3AndGuaranteed:
             np.sort(np.asarray(pos), axis=-1),
             np.sort(np.asarray(want_p), axis=-1),
         )
+
+
+class TestSearchCertifiedFused:
+    """method='fused': single-dispatch guaranteed search."""
+
+    def _index(self, n=300, d=8, seed=14, dtype="float32"):
+        from xfmr_rec_tpu.index import RetrievalIndex
+
+        rng = np.random.default_rng(seed)
+        corpus = rng.normal(size=(n, d)).astype(np.float32)
+        return (
+            RetrievalIndex(
+                corpus, np.arange(1, n + 1), dtype=dtype, method="scan"
+            ),
+            corpus,
+            rng,
+        )
+
+    def test_fused_matches_dense_exactly(self):
+        idx, corpus, rng = self._index()
+        for batch in (1, 5, 32):
+            queries = rng.normal(size=(batch, 8)).astype(np.float32)
+            scores, ids = idx.search_certified(
+                queries, top_k=7, method="fused", exact_scores=True
+            )
+            want = np.sort(queries @ corpus.T, axis=-1)[:, ::-1][:, :7]
+            np.testing.assert_allclose(scores, want, rtol=1e-5, atol=1e-6)
+
+    def test_fused_decoded_scores_floor(self):
+        idx, corpus, rng = self._index(seed=15)
+        queries = rng.normal(size=(16, 8)).astype(np.float32)
+        scores, ids = idx.search_certified(
+            queries, top_k=7, method="fused", exact_scores=False
+        )
+        exact_s, exact_ids = idx.search_certified(
+            queries, top_k=7, method="fused", exact_scores=True
+        )
+        # same item sets; decoded scores are quantum floors of exact
+        for b in range(16):
+            assert set(ids[b]) == set(exact_ids[b])
+        assert (scores <= exact_s + 1e-5).all()
+
+    def test_fused_int8_corpus(self):
+        idx, corpus, rng = self._index(seed=16, dtype="int8")
+        queries = rng.normal(size=(8, 8)).astype(np.float32)
+        scores, ids = idx.search_certified(
+            queries, top_k=5, method="fused", exact_scores=True
+        )
+        # exact over the QUANTIZED corpus: compare against the dense
+        # dequantized reference
+        deq = np.asarray(idx.corpus, np.float32) * np.asarray(
+            idx._scales
+        )[0][:, None]
+        want = np.sort(queries @ deq.T, axis=-1)[:, ::-1][:, :5]
+        np.testing.assert_allclose(scores, want, rtol=2e-2, atol=1e-2)
+
+    def test_fused_forced_collisions_still_exact(self):
+        """Identity-lane collisions force the in-graph retry; results
+        must stay exact (retry + dedupe + dense residual all covered)."""
+        from xfmr_rec_tpu.index import RetrievalIndex
+
+        rng = np.random.default_rng(17)
+        corpus = rng.normal(size=(256, 8)).astype(np.float32) * 0.01
+        queries = rng.normal(size=(8, 8)).astype(np.float32)
+        for i in range(8):
+            corpus[i] = queries[i] * 10
+            corpus[i + 128] = queries[i] * 9
+        idx = RetrievalIndex(
+            corpus, np.arange(1, 257), dtype="float32", method="scan"
+        )
+        scores, ids = idx.search_certified(
+            queries, top_k=5, method="fused", exact_scores=True
+        )
+        ref = queries @ corpus.T
+        for b in range(8):
+            want = np.sort(ref[b])[::-1][:5]
+            np.testing.assert_allclose(scores[b], want, rtol=1e-5)

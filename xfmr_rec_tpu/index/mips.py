@@ -114,6 +114,66 @@ def exact_topk(
     return scores, positions
 
 
+class BM25Index:
+    """Host-side BM25 over metadata rows (the reference's LanceDB FTS
+    capability, data/lightning.py:221,298 — built for BOTH item and user
+    tables there). Reusable: RetrievalIndex.search_text rides it for
+    items; the serving engine builds one over user rows.
+    """
+
+    K1 = 1.2
+    B = 0.75
+
+    def __init__(
+        self, metadata: list[dict], *, text_col: str | None = None
+    ) -> None:
+        import re
+
+        self.metadata = metadata
+        if text_col is None:
+            sample = next((m for m in metadata if m), {})
+            text_col = next(
+                (k for k, v in sample.items() if isinstance(v, str)), None
+            )
+        self.text_col = text_col
+        self._tokenize = re.compile(r"[a-z0-9]+").findall
+        docs = [
+            self._tokenize(str(m.get(text_col, "")).lower())
+            for m in metadata
+        ]
+        postings: dict[str, dict[int, int]] = {}
+        for row, toks in enumerate(docs):
+            for tok in toks:
+                bucket = postings.setdefault(tok, {})
+                bucket[row] = bucket.get(row, 0) + 1
+        self._postings = postings
+        self._doc_lens = np.array(
+            [len(t) or 1 for t in docs], dtype=np.float32
+        )
+
+    def search(self, query: str, *, top_k: int = 10) -> list[tuple[int, float]]:
+        """Top matching (row, score) pairs, positive scores only."""
+        if self.text_col is None:
+            return []
+        n_docs = len(self._doc_lens)
+        avg_len = float(self._doc_lens.mean()) if n_docs else 1.0
+        scores = np.zeros(n_docs, dtype=np.float32)
+        for tok in self._tokenize(query.lower()):
+            plist = self._postings.get(tok)
+            if not plist:
+                continue
+            idf = np.log(
+                1.0 + (n_docs - len(plist) + 0.5) / (len(plist) + 0.5)
+            )
+            for row, tf in plist.items():
+                denom = tf + self.K1 * (
+                    1 - self.B + self.B * self._doc_lens[row] / avg_len
+                )
+                scores[row] += idf * tf * (self.K1 + 1) / denom
+        order = np.argsort(-scores, kind="stable")[:top_k]
+        return [(int(r), float(scores[r])) for r in order if scores[r] > 0]
+
+
 class RetrievalIndex:
     """Host-facing index: corpus embeddings + item metadata + jitted search.
 
@@ -359,6 +419,13 @@ class RetrievalIndex:
         the k-th score may swap); scores are quantum-floor decodes by
         default, or exact f32 with `exact_scores=True`. See
         `_search_certified_packed`.
+
+        method="fused" (round 3, fastest): the same guarantee as
+        "packed" but the whole escalation — pass 1, lane-shuffled
+        retries, pool merges — runs as ONE jit dispatch on device
+        (`packed_guaranteed_topk`), with the dense path only for the
+        ~(1-0.96)^3 residual. This is the benched guaranteed-exact
+        configuration.
         """
         import jax
 
@@ -366,6 +433,10 @@ class RetrievalIndex:
 
         if method == "packed":
             return self._search_certified_packed(
+                queries, top_k=top_k, exact_scores=exact_scores
+            )
+        if method == "fused":
+            return self._search_certified_fused(
                 queries, top_k=top_k, exact_scores=exact_scores
             )
         if method != "f32":
@@ -474,6 +545,93 @@ class RetrievalIndex:
         positions = positions[:true_batch]
         return scores, self.ids[positions]
 
+    def _search_certified_fused(
+        self,
+        queries: np.ndarray | Array,
+        *,
+        top_k: int,
+        exact_scores: bool = False,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Guaranteed search as ONE device dispatch (round 3).
+
+        Rides `packed_guaranteed_topk`: pass-1 sweep + in-graph
+        lane-shuffled retries + device-side key-space pool merges, so
+        the whole escalation is a single jit call with no host
+        round-trips between passes (method="packed" transfers the
+        (B, k) keys/positions to host after EVERY pass). The rare
+        residual rows the pipeline cannot certify (expected
+        ~(1 - 0.96)^3 with 2 retries) re-run through the dense exact
+        path, preserving the same guarantee contract: every returned
+        row is the exact top-k of the packed (quantized-score) order.
+        """
+        import jax
+
+        from xfmr_rec_tpu.ops.topk_pallas import packed_guaranteed_topk
+
+        queries_f32 = np.asarray(
+            jnp.asarray(queries, jnp.float32)
+            if isinstance(queries, Array)
+            else np.asarray(queries, np.float32)
+        )
+        if queries_f32.ndim == 1:
+            queries_f32 = queries_f32[None, :]
+        corpus_padded, scales_padded, tile, true_n, interpret = (
+            self._scan_setup()
+        )
+        if not hasattr(self, "_guaranteed_fn"):
+            self._guaranteed_fn = jax.jit(
+                lambda q, k, bound, exact_sc, c, s: packed_guaranteed_topk(
+                    q,
+                    c,
+                    k,
+                    score_bound=bound,
+                    batch_tile=512,
+                    corpus_tile=tile,
+                    merge_levels=1,
+                    merge_keep=3,
+                    true_num_items=true_n,
+                    scales=s,
+                    retries=3,
+                    recompute_scores=exact_sc,
+                    interpret=interpret,
+                ),
+                static_argnames=("k", "exact_sc"),
+            )
+            self._ensure_dense_fn()
+        qnorm = float(np.linalg.norm(queries_f32, axis=-1).max())
+        bound = jnp.float32(max(self._corpus_maxnorm * qnorm * 1.05, 1e-6))
+        true_batch = queries_f32.shape[0]
+        width = max(8, 1 << (true_batch - 1).bit_length())
+        queries_dev = jnp.asarray(
+            np.pad(queries_f32, ((0, width - true_batch), (0, 0))),
+            dtype=self._query_dtype,
+        )
+        scores, positions, exact = self._guaranteed_fn(
+            queries_dev, top_k, bound, exact_scores,
+            corpus_padded, scales_padded,
+        )
+        scores = np.array(scores)[:true_batch]
+        positions = np.array(positions)[:true_batch]
+        exact = np.asarray(exact)[:true_batch]
+        bad = np.nonzero(~exact)[0]
+        self.last_certified_stats = {
+            "batch": true_batch,
+            "pipeline_bad": int(bad.size),
+        }
+        if bad.size:
+            rw = max(8, 1 << (int(bad.size) - 1).bit_length())
+            retry = np.zeros((rw, self.dim), dtype=np.float32)
+            retry[: bad.size] = queries_f32[bad]
+            s3, p3 = self._dense_fn(
+                jnp.asarray(retry, dtype=self._query_dtype),
+                top_k,
+                self.corpus,
+                self._scales,
+            )
+            scores[bad] = np.asarray(s3)[: bad.size]
+            positions[bad] = np.asarray(p3)[: bad.size]
+        return scores, self.ids[positions]
+
     def _search_certified_packed(
         self,
         queries: np.ndarray | Array,
@@ -523,14 +681,13 @@ class RetrievalIndex:
         )
         num_tiles = corpus_padded.shape[0] // tile
         idx_bits = max((num_tiles - 1).bit_length(), 1)
-        # one lane-pair merge halves the top_k selection width (the
-        # post-scan bottleneck), but its certification rate falls with
-        # the pair count: expected triple-collisions per row ~
-        # k^3 / (6 * pairs^2), so cert ~ exp(-k^3/(6 pairs^2)). Gate on
-        # pairs^2 >= k^3 (>= ~85% certified: measured 86% at k=100 /
-        # ct=2048, vs 56% at ct=1024 where the gate keeps merge off).
+        # one KEEP-3 lane-pair merge (round 3) cuts the top_k selection
+        # width to 1.5ct at ~zero certification cost: a pair fails only
+        # holding >= 4 of a row's top-k, expected rows ~ k^4/(24 pairs^3)
+        # (vs k^3/(6 pairs^2) for the old keep-2 merge, measured
+        # 96% -> 87%). Gate on pairs^3 >= k^4 (~4% extra failures max).
         pairs = tile >> 1
-        merge_levels = 1 if pairs * pairs >= top_k**3 else 0
+        merge_levels = 1 if pairs**3 >= top_k**4 else 0
         if not hasattr(self, "_packed_fn"):
             self._packed_fn = jax.jit(
                 lambda q, k, shuffle, ml, bound, c, s: (
@@ -543,6 +700,7 @@ class RetrievalIndex:
                         corpus_tile=tile,
                         idx_bits=idx_bits,
                         merge_levels=ml,
+                        merge_keep=3,
                         true_num_items=true_n,
                         lane_shuffle=shuffle,
                         scales=s,
@@ -728,52 +886,16 @@ class RetrievalIndex:
 
         Returns the top matching metadata rows (with id and score).
         """
-        import re
-
-        if text_col is None:
-            sample = next((m for m in self.metadata if m), {})
-            text_col = next(
-                (k for k, v in sample.items() if isinstance(v, str)), None
-            )
-            if text_col is None:
-                return []
-        tokenize = re.compile(r"[a-z0-9]+").findall
-        if getattr(self, "_fts_col", None) != text_col:
-            docs = [
-                tokenize(str(m.get(text_col, "")).lower())
-                for m in self.metadata
-            ]
-            postings: dict[str, dict[int, int]] = {}
-            for row, toks in enumerate(docs):
-                for tok in toks:
-                    bucket = postings.setdefault(tok, {})
-                    bucket[row] = bucket.get(row, 0) + 1
-            self._fts = (
-                postings,
-                np.array([len(t) or 1 for t in docs], dtype=np.float32),
-            )
+        if getattr(self, "_fts_col", None) != text_col or not hasattr(
+            self, "_fts"
+        ):
+            self._fts = BM25Index(self.metadata, text_col=text_col)
             self._fts_col = text_col
-        postings, doc_lens = self._fts
-        n_docs = len(doc_lens)
-        avg_len = float(doc_lens.mean())
-        k1, b = 1.2, 0.75
-        scores = np.zeros(n_docs, dtype=np.float32)
-        for tok in tokenize(query.lower()):
-            plist = postings.get(tok)
-            if not plist:
-                continue
-            idf = np.log(1.0 + (n_docs - len(plist) + 0.5) / (len(plist) + 0.5))
-            for row, tf in plist.items():
-                denom = tf + k1 * (1 - b + b * doc_lens[row] / avg_len)
-                scores[row] += idf * tf * (k1 + 1) / denom
-        order = np.argsort(-scores, kind="stable")[:top_k]
         out = []
-        for row in order:
-            if scores[row] <= 0:
-                break
+        for row, score in self._fts.search(query, top_k=top_k):
             entry = dict(self.metadata[row])
             entry[self.id_col] = int(self.ids[row])
-            entry["score"] = float(scores[row])
+            entry["score"] = score
             out.append(entry)
         return out
 

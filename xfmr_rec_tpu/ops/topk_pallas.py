@@ -1343,6 +1343,9 @@ def packed_guaranteed_topk(
     uncertified — the guarantee contract is unchanged, only the
     fallback rate grows.
     """
+    # device array up front: the conditional retry rounds gather rows
+    # with traced indices, which host numpy arrays cannot do
+    queries = jnp.asarray(queries)
     true_batch = queries.shape[0]
     batch_tile = min(batch_tile, _round_up(true_batch, 8))
     pad_rows = -true_batch % batch_tile
@@ -1386,8 +1389,8 @@ def packed_guaranteed_topk(
     tau = keys[:, k - 1]
     exact = (dmax <= tau) & (tau > min_real)
 
-    for attempt in range(retries):
-        shuffle = 2 * attempt + 1  # 1, 3, 5... (see _lane_mapped_scores)
+    def retry_round(state, shuffle):
+        keys, positions, dmax, exact = state
         bad_idx = jnp.nonzero(
             ~exact, size=retry_width, fill_value=0
         )[0]
@@ -1417,6 +1420,21 @@ def packed_guaranteed_topk(
         exact = exact.at[bad_idx].set(
             jnp.where(need, merged_exact, exact[bad_idx])
         )
+        return keys, positions, dmax, exact
+
+    state = (keys, positions, dmax, exact)
+    for attempt in range(retries):
+        shuffle = 2 * attempt + 1  # 1, 3, 5... (see _lane_mapped_scores)
+        # device-side skip: once every row certifies, later retry
+        # sweeps cost one branch instead of a corpus re-read (at large
+        # batch, retries 1-2 ~always fire; a 3rd fires ~P(any residual))
+        state = jax.lax.cond(
+            jnp.any(~state[3]),
+            lambda s: retry_round(s, shuffle),
+            lambda s: s,
+            state,
+        )
+    keys, positions, dmax, exact = state
 
     if recompute_scores:
         c = corpus[:, :-1] if bias_in_dot else corpus

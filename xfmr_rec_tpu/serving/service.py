@@ -134,6 +134,12 @@ class RecService:
         )
 
     # -- meta ----------------------------------------------------------
+    def search_items_text(self, query: str, top_k: int = 10) -> list[dict]:
+        return self.engine.search_items_text(query, top_k=top_k)
+
+    def search_users_text(self, query: str, top_k: int = 10) -> list[dict]:
+        return self.engine.search_users_text(query, top_k=top_k)
+
     def model_name(self) -> str:
         return MODEL_NAME
 
@@ -257,6 +263,8 @@ _ENDPOINTS = {
         ("exclude_item_ids", None),
         ("top_k", None),
     ),
+    "search_items_text": (("query", None), ("top_k", None)),
+    "search_users_text": (("query", None), ("top_k", None)),
     "model_name": (),
     "model_version": (),
 }
