@@ -88,3 +88,51 @@ class TestSubcommands:
         recs = json.loads(capsys.readouterr().out)
         assert len(recs) == 20  # TOP_K default
         assert {"movie_id", "score"} <= set(recs[0])
+
+
+class TestSchemaDrivenCoercion:
+    """Overrides parse against declared field types, not default-value
+    sniffing (VERDICT r2 hygiene: None defaults previously fell back to
+    json.loads luck)."""
+
+    def _parse(self, *args):
+        from xfmr_rec_tpu.training.cli import default_config, parse_overrides
+
+        return parse_overrides(default_config(), list(args))
+
+    def test_optional_int_parses(self):
+        cfg = self._parse("--trainer.max_steps", "100")
+        assert cfg["trainer"]["max_steps"] == 100
+        assert isinstance(cfg["trainer"]["max_steps"], int)
+
+    def test_optional_union_float_int(self):
+        cfg = self._parse("--trainer.limit_train_batches", "0.5")
+        assert cfg["trainer"]["limit_train_batches"] == 0.5
+        assert isinstance(cfg["trainer"]["limit_train_batches"], float)
+        cfg = self._parse("--trainer.limit_train_batches", "7")
+        # int member wins for an integral literal
+        assert cfg["trainer"]["limit_train_batches"] == 7
+
+    def test_null_maps_to_none(self):
+        cfg = self._parse("--trainer.max_time_s", "null")
+        assert cfg["trainer"]["max_time_s"] is None
+        cfg = self._parse("--data.max_positives", "none")
+        assert cfg["data"]["max_positives"] is None
+
+    def test_literal_validated(self):
+        cfg = self._parse("--model.compute_dtype", "float32")
+        assert cfg["model"]["compute_dtype"] == "float32"
+        with pytest.raises(SystemExit, match="not one of"):
+            self._parse("--model.compute_dtype", "fp8")
+
+    def test_bool_strict(self):
+        cfg = self._parse("--model.use_logq_correction", "true")
+        assert cfg["model"]["use_logq_correction"] is True
+        with pytest.raises(SystemExit, match="bool"):
+            self._parse("--model.use_logq_correction", "maybe")
+
+    def test_optional_float_init_range(self):
+        cfg = self._parse("--model.initializer_range", "null")
+        assert cfg["model"]["initializer_range"] is None
+        cfg = self._parse("--model.initializer_range", "0.05")
+        assert cfg["model"]["initializer_range"] == 0.05

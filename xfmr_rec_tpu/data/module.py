@@ -346,6 +346,16 @@ class RecDataModule:
             len(self.train_user_pos),
         )
 
+    def train_history_item_ids(self, user_pos: int) -> list[int]:
+        """Item IDS of one user's train-half interactions (the
+        recommend-time exclusion set — reference lightning.py:89-90).
+        Public accessor: CLI/serving must not reach into the private
+        position map."""
+        return [
+            int(self.item_ids[p])
+            for p in self._train_items_by_user.get(int(user_pos), [])
+        ]
+
     def _build_vocab_tokenizer(self, base: pathlib.Path, texts: list[str]):
         """Build (or reload) the corpus-frequency vocab tokenizer.
 

