@@ -399,3 +399,86 @@ class TestTextSearch:
             service, "search_users_text", {"query": "gender", "top_k": 3}
         )
         assert isinstance(out, list)
+
+
+class TestMicroBatching:
+    """Adaptive request coalescing (serving/batching.py): concurrent
+    text searches must batch into fewer device dispatches with results
+    identical to the unbatched path."""
+
+    @pytest.fixture(scope="class")
+    def batched_service(self, artifact):
+        from xfmr_rec_tpu.serving.service import RecService
+
+        engine = RecommenderEngine(artifact, warmup=False)
+        service = RecService(engine, micro_batch=16, micro_batch_wait_ms=20)
+        yield service
+        service.batcher.close()
+
+    def test_results_match_unbatched(self, batched_service, service):
+        q = Query(text='{"title":"Movie 5 (1995)"}')
+        got = batched_service.search_items(q, top_k=5)
+        want = service.search_items(q, top_k=5)
+        assert [c.movie_id for c in got] == [c.movie_id for c in want]
+        for g, w in zip(got, want):
+            assert g.score == pytest.approx(w.score, rel=1e-5)
+
+    def test_concurrent_requests_coalesce(self, batched_service):
+        import threading
+
+        batcher = batched_service.batcher
+        before_batches = batcher.batches_dispatched
+        before_requests = batcher.requests_served
+        results = {}
+
+        def worker(i):
+            results[i] = batched_service.recommend_with_query(
+                Query(text=f'{{"title":"Movie {i % 7} (1995)"}}'), top_k=4
+            )
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(12)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        served = batcher.requests_served - before_requests
+        dispatched = batcher.batches_dispatched - before_batches
+        assert served == 12
+        assert dispatched < 12, "no coalescing happened"
+        assert all(len(results[i]) == 4 for i in range(12))
+
+    def test_per_request_top_k_and_exclusions(self, batched_service):
+        import threading
+
+        q = Query(text='{"title":"Movie 3 (1995)"}')
+        base = batched_service.search_items(q, top_k=6)
+        exclude = [base[0].movie_id]
+        out = {}
+
+        def a():
+            out["a"] = batched_service.search_items(q, top_k=3)
+
+        def b():
+            out["b"] = batched_service.search_items(
+                q, exclude_item_ids=exclude, top_k=6
+            )
+
+        ta, tb = threading.Thread(target=a), threading.Thread(target=b)
+        ta.start(); tb.start(); ta.join(); tb.join()
+        assert len(out["a"]) == 3
+        assert exclude[0] not in [c.movie_id for c in out["b"]]
+
+    def test_embedding_queries_bypass_batcher(self, batched_service):
+        q = batched_service.embed_query(Query(text="anything"))
+        before = batched_service.batcher.requests_served
+        result = batched_service.search_items(q, top_k=3)
+        assert len(result) == 3
+        assert batched_service.batcher.requests_served == before
+
+    def test_error_propagates_to_caller(self, batched_service):
+        with pytest.raises(Exception):  # noqa: B017, PT011 — any engine error
+            batched_service.batcher.search_items(
+                '{"t":1}', top_k=10**9
+            )

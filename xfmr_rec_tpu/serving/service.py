@@ -38,10 +38,27 @@ logger = logging.getLogger(__name__)
 
 class RecService:
     def __init__(
-        self, engine: RecommenderEngine, model_version_str: str = "latest"
+        self,
+        engine: RecommenderEngine,
+        model_version_str: str = "latest",
+        *,
+        micro_batch: int | None = None,
+        micro_batch_wait_ms: float = 5.0,
     ) -> None:
+        """`micro_batch`: when set, concurrent text-query searches
+        coalesce into batched device dispatches of up to this size
+        (the reference's BentoML adaptive-batching property — see
+        serving/batching.py). Queries carrying a precomputed embedding
+        bypass the batcher."""
         self.engine = engine
         self._version = model_version_str
+        self.batcher = None
+        if micro_batch:
+            from xfmr_rec_tpu.serving.batching import MicroBatcher
+
+            self.batcher = MicroBatcher(
+                engine, max_batch=micro_batch, max_wait_ms=micro_batch_wait_ms
+            )
 
     # -- embedding / search -------------------------------------------
     def embed_query(self, query: Query) -> Query:
@@ -53,6 +70,12 @@ class RecService:
         exclude_item_ids: list[int] | None = None,
         top_k: int = TOP_K,
     ) -> list[ItemCandidate]:
+        if self.batcher is not None and query.embedding is None:
+            return self.batcher.search_items(
+                query.text,
+                exclude_item_ids=exclude_item_ids,
+                top_k=top_k,
+            )
         return self.engine.search_items(
             query, exclude_item_ids=exclude_item_ids or [], top_k=top_k
         )
@@ -63,6 +86,12 @@ class RecService:
         exclude_item_ids: list[int] | None = None,
         top_k: int = TOP_K,
     ) -> list[ItemCandidate]:
+        if self.batcher is not None and query.embedding is None:
+            return self.batcher.search_items(
+                query.text,
+                exclude_item_ids=exclude_item_ids,
+                top_k=top_k,
+            )
         query = self.embed_query(query)
         return self.search_items(
             query, exclude_item_ids=exclude_item_ids, top_k=top_k
@@ -331,7 +360,17 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:  # noqa: N802 — http.server API
         path = self.path.split("?", 1)[0].strip("/")
         if path == "metrics":
-            data = self.metrics.render().encode()
+            text = self.metrics.render()
+            batcher = getattr(self.service, "batcher", None)
+            if batcher is not None:
+                text += (
+                    "# TYPE microbatch_requests_total counter\n"
+                    f"microbatch_requests_total {batcher.requests_served}\n"
+                    "# TYPE microbatch_dispatches_total counter\n"
+                    "microbatch_dispatches_total "
+                    f"{batcher.batches_dispatched}\n"
+                )
+            data = text.encode()
             self.send_response(200)
             self.send_header(
                 "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
