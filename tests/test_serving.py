@@ -334,7 +334,12 @@ class TestIVFCacheInvalidation:
     (ADVICE round 2: a stale cached IVF would probe the previous
     model's clusters)."""
 
-    def test_fingerprint_mismatch_triggers_rebuild(self, artifact):
+    def test_fingerprint_mismatch_triggers_rebuild(self, artifact, tmp_path):
+        # mutate a COPY: the module-scoped artifact is shared with every
+        # later fixture that builds a fresh engine from it
+        import shutil
+
+        artifact = shutil.copytree(artifact, tmp_path / "artifact")
         engine = RecommenderEngine(artifact, warmup=False, index_kind="ivf")
         assert (artifact / "ivf" / "fingerprint.json").exists()
         first_centroids = np.asarray(engine.ivf.centroids).copy()

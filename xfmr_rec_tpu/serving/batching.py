@@ -24,6 +24,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -93,9 +94,6 @@ class MicroBatcher:
         if first is None:
             return []
         batch = [first]
-        deadline = threading.Event()  # cheap monotonic wait below
-        import time
-
         end = time.monotonic() + self.max_wait_s
         while len(batch) < self.max_batch:
             remaining = end - time.monotonic()
@@ -108,7 +106,6 @@ class MicroBatcher:
             if nxt is None:
                 break
             batch.append(nxt)
-        del deadline
         return batch
 
     def _loop(self) -> None:
