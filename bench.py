@@ -23,12 +23,17 @@ every row (certified_frac prints below); any residual row would fall
 back to the dense path (RetrievalIndex.search_certified(method="fused")),
 at a measured expected rate of ~(1 - 0.96)^4 per row.
 
+The candidate-pool selection rides the Pallas threshold-select
+(`selector="auto"` in packed_certified_parts): exact-kth bit search +
+butterfly compaction instead of lax.top_k over the (B, 1.5ct) pool —
+pass-1 measured 17.7 -> 15.9 ms/batch (runs/bench_fused_select.py).
+
 Reference points measured on the same chip/shapes (see BENCH_NOTES.md):
   XLA dense (B,N) matmul + lax.top_k : ~3k qps (exact)
   XLA approx_max_k(recall=0.95)      : ~52k qps (no guarantee)
   f32 certified scan (round 1)       : ~145k qps @ 96% certified
   packed keep-2 merge (round 2)      : ~292k qps @ 87% certified
-  packed keep-3 merge, pass 1 only   : ~235k qps @ 96.4% certified
+  packed keep-3 merge, pass 1 only   : ~258k qps @ 96.4% certified
   this config (guaranteed pipeline)  : printed below @ ~100% certified
 
 Timing harness notes: inputs vary per call (4 query batches cycled) and
@@ -131,7 +136,7 @@ def main() -> None:
                     f"items (dim {DIM}, bf16, Pallas packed keep-3 scan + "
                     f"in-graph certified retries; "
                     f"certified_frac={certified_frac:.4f}, exact at the "
-                    f"key quantum ~5e-4; pass-1-only runs 235k qps at "
+                    f"key quantum ~5e-4; pass-1-only runs 258k qps at "
                     f"96.4% certified), 1 chip"
                 ),
                 "value": round(qps, 1),

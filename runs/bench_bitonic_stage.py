@@ -23,7 +23,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 B, W = 4096, 4096
 STAGES = 16
-BT = 512
+BT = 256  # 512 blows the scoped-vmem stack (4 i32 buffers + roll temps)
 
 
 def _kernel(k_ref, l_ref, ko_ref, lo_ref, *, stages):
@@ -39,14 +39,16 @@ def _kernel(k_ref, l_ref, ko_ref, lo_ref, *, stages):
         kdir = 128
         lo = (iota & j) == 0
         take_max = ((iota & kdir) == 0) == lo
+        w = keys.shape[1]
+        # pltpu.roll requires non-negative shifts: roll(-j) == roll(w - j)
         pk = jnp.where(
             lo,
-            pltpu.roll(keys, -j, 1),
+            pltpu.roll(keys, w - j, 1),
             pltpu.roll(keys, j, 1),
         )
         plane = jnp.where(
             lo,
-            pltpu.roll(lanes, -j, 1),
+            pltpu.roll(lanes, w - j, 1),
             pltpu.roll(lanes, j, 1),
         )
         partner_beats = (pk > keys) | ((pk == keys) & lo)
@@ -89,6 +91,9 @@ def main() -> None:
                     jax.ShapeDtypeStruct((B, W), jnp.int32),
                     jax.ShapeDtypeStruct((B, W), jnp.int32),
                 ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
             )(k, l)
         )
         out = fn(keys[0], lanes)

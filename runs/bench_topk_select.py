@@ -95,12 +95,33 @@ def main() -> None:
         s = jnp.sort(keys, axis=-1)[:, ::-1][:, :K]
         return s, s
 
+    from xfmr_rec_tpu.ops.topk_pallas import select_topk_keys
+
+    @jax.jit
+    def pallas_select(keys):
+        return select_topk_keys(keys, K)
+
+    @jax.jit
+    def pallas_select_bt512(keys):
+        return select_topk_keys(keys, K, batch_tile=512)
+
+    @jax.jit
+    def pallas_select_fast(keys):
+        # the packed-caller configuration: bench pool has 10 index/stamp
+        # bits (512 tiles + 1 reserve) and float-window keys
+        return select_topk_keys(
+            keys, K, quantum_bits=10, shared_exponent=True
+        )
+
     for name, fn in [
         ("top_k_i32", tk_i32),
         ("top_k_f32_bitcast", tk_f32),
         ("top_k_split2_i32", tk_split),
         ("top_k_split2_f32", tk_split_f32),
         ("sort_slice_i32", sort_slice),
+        ("pallas_threshold_select", pallas_select),
+        ("pallas_threshold_select_bt512", pallas_select_bt512),
+        ("pallas_threshold_select_q10_exp", pallas_select_fast),
     ]:
         ms = timed(fn, pools) * 1e3
         print(json.dumps({"variant": name, "ms": round(ms, 3)}), flush=True)
@@ -108,9 +129,22 @@ def main() -> None:
     # correctness: variants agree with the i32 reference
     v0, _ = tk_i32(pools[0])
     for name, fn in [("f32", tk_f32), ("split2", tk_split),
-                     ("split2_f32", tk_split_f32)]:
+                     ("split2_f32", tk_split_f32),
+                     ("pallas", pallas_select),
+                     ("pallas_bt512", pallas_select_bt512)]:
         v, _ = fn(pools[0])
         assert jnp.array_equal(v0, v), name
+    # pallas lanes point at the claimed keys
+    v, lanes = pallas_select(pools[0])
+    gathered = jnp.take_along_axis(pools[0], lanes, axis=-1)
+    assert jnp.array_equal(jnp.where(v > 0, gathered, 0),
+                           jnp.where(v > 0, v, 0))
+    # quantum variant: agreement above the 10 tie-break bits
+    vq, lanesq = pallas_select_fast(pools[0])
+    assert jnp.array_equal(v0 >> 10, vq >> 10)
+    gq = jnp.take_along_axis(pools[0], lanesq, axis=-1)
+    assert jnp.array_equal(jnp.where(vq > 0, gq, 0),
+                           jnp.where(vq > 0, vq, 0))
     print(json.dumps({"check": "values agree"}), flush=True)
 
 

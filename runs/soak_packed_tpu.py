@@ -56,9 +56,24 @@ def main() -> None:
             recompute_scores=True,
         )
     )
-    dense_fn = jax.jit(
-        lambda q, c: jnp.dot(
-            q, c.T, preferred_element_type=jnp.float32
+    # references computed ON DEVICE: pulling the full (B, N) dense
+    # matrix to the host (2.1 GB/round) crawls through the ~10 MB/s
+    # relay and stalled the soak for >30 min; only (B, K)-sized results
+    # cross the link now
+    @jax.jit
+    def refs_fn(q, e, c):
+        dense = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
+        rows = jnp.arange(q.shape[0])[:, None]
+        masked = dense.at[rows, e].set(-jnp.inf)
+        want_excl_vals, want_excl_pos = jax.lax.top_k(masked, K)
+        want_top_vals, _ = jax.lax.top_k(dense, K)
+        return want_excl_vals, want_excl_pos, want_top_vals
+
+    gather_fn = jax.jit(
+        lambda q, c, pos: jnp.take_along_axis(
+            jnp.dot(q, c.T, preferred_element_type=jnp.float32),
+            pos,
+            axis=1,
         )
     )
 
@@ -71,18 +86,21 @@ def main() -> None:
         q /= np.linalg.norm(q, axis=-1, keepdims=True)
         excl = rng.integers(0, N, size=(B, E)).astype(np.int32)
         q_dev = jax.device_put(jnp.asarray(q, jnp.bfloat16))
-        dense = np.asarray(dense_fn(q_dev, corpus_dev))
+        excl_dev = jnp.asarray(excl)
+        _, want_pos, want_top = (
+            np.asarray(a) for a in refs_fn(q_dev, excl_dev, corpus_dev)
+        )
 
-        scores, pos = excl_fn(q_dev, jnp.asarray(excl), corpus_dev)
+        scores, pos = excl_fn(q_dev, excl_dev, corpus_dev)
         scores, pos = np.asarray(scores), np.asarray(pos)
         assert (pos < N).all(), "padding position leaked"
-        dmasked = dense.copy()
-        np.put_along_axis(dmasked, excl, -np.inf, axis=1)
-        want_pos = np.argpartition(-dmasked, K - 1, axis=1)[:, :K]
+        dense_at_pos = np.asarray(
+            gather_fn(q_dev, corpus_dev, jnp.asarray(pos))
+        )
         for b in range(B):
             assert not np.isin(pos[b], excl[b]).any(), "exclusion violated"
             np.testing.assert_allclose(
-                scores[b], dense[b][pos[b]], rtol=5e-2, atol=5e-2
+                scores[b], dense_at_pos[b], rtol=5e-2, atol=5e-2
             )
             excl_hits += len(np.intersect1d(pos[b], want_pos[b]))
             excl_total += K
@@ -91,10 +109,11 @@ def main() -> None:
         gs, gp, ge = np.asarray(gs), np.asarray(gp), np.asarray(ge)
         cert_rows += int(ge.sum())
         for b in np.flatnonzero(ge):
-            want = np.sort(dense[b])[-K:][::-1]
             got = np.sort(gs[b])[::-1]
             # bf16 scoring noise dominates the comparison tolerance
-            np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+            np.testing.assert_allclose(
+                got, want_top[b], rtol=5e-2, atol=5e-2
+            )
         total_rows += B
         print(
             json.dumps(

@@ -1093,3 +1093,178 @@ class TestSearchCertifiedFused:
         for b in range(8):
             want = np.sort(ref[b])[::-1][:5]
             np.testing.assert_allclose(scores[b], want, rtol=1e-5)
+
+
+class TestSelectTopkKeys:
+    """Threshold-select kernel == lax.top_k on packed-key-style pools."""
+
+    def _check(self, pool, k, **kw):
+        import jax
+        import jax.numpy as jnp
+
+        from xfmr_rec_tpu.ops.topk_pallas import select_topk_keys
+
+        ref_keys, _ = jax.lax.top_k(jnp.asarray(pool), k)
+        got_keys, got_lanes = select_topk_keys(
+            jnp.asarray(pool), k, interpret=True, **kw
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_keys), np.asarray(got_keys)
+        )
+        got_keys = np.asarray(got_keys)
+        got_lanes = np.asarray(got_lanes)
+        gathered = np.take_along_axis(pool, got_lanes, axis=1)
+        real = got_keys > 0
+        np.testing.assert_array_equal(gathered[real], got_keys[real])
+        for row in range(pool.shape[0]):
+            lanes_r = got_lanes[row][real[row]]
+            assert len(set(lanes_r.tolist())) == len(lanes_r)
+
+    def test_random_pools(self):
+        rng = np.random.default_rng(0)
+        for k in (1, 7, 100, 128):
+            pool = rng.integers(
+                0, 1 << 30, size=(8, 768)
+            ).astype(np.int32)
+            self._check(pool, k, batch_tile=8)
+
+    def test_heavy_ties_and_empties(self):
+        rng = np.random.default_rng(1)
+        pool = rng.integers(0, 1 << 30, size=(8, 768)).astype(np.int32)
+        pool = (pool >> 20) << 20  # few distinct values -> many ties
+        pool[:, ::3] = 0  # empty slots
+        self._check(pool, 50, batch_tile=8)
+
+    def test_fewer_candidates_than_k(self):
+        pool = np.zeros((8, 768), dtype=np.int32)
+        pool[:, 5] = 1000
+        pool[:, 400] = 2000
+        self._check(pool, 10, batch_tile=8)
+
+    def test_batch_padding(self):
+        rng = np.random.default_rng(2)
+        pool = rng.integers(0, 1 << 30, size=(5, 768)).astype(np.int32)
+        self._check(pool, 20, batch_tile=8)
+
+    def test_narrow_pool_falls_back(self):
+        import jax.numpy as jnp
+
+        from xfmr_rec_tpu.ops.topk_pallas import select_topk_keys
+
+        rng = np.random.default_rng(3)
+        pool = rng.integers(0, 1 << 30, size=(4, 128)).astype(np.int32)
+        keys, lanes = select_topk_keys(jnp.asarray(pool), 5)
+        want = np.sort(pool, axis=1)[:, ::-1][:, :5]
+        np.testing.assert_array_equal(np.asarray(keys), want)
+
+    def test_rejects_bad_args(self):
+        import jax.numpy as jnp
+
+        from xfmr_rec_tpu.ops.topk_pallas import select_topk_keys
+
+        pool = jnp.zeros((4, 768), dtype=jnp.int32)
+        with pytest.raises(ValueError, match="capacity"):
+            select_topk_keys(pool, 200, capacity=128)
+        with pytest.raises(ValueError, match="multiple of 128"):
+            select_topk_keys(pool, 5, capacity=100)
+
+    def test_quantum_and_shared_exponent_modes(self):
+        """Relaxed search: agreement with lax.top_k above the quantum
+        bits; every returned (key, lane) pair is real."""
+        import jax
+        import jax.numpy as jnp
+
+        from xfmr_rec_tpu.ops.topk_pallas import select_topk_keys
+
+        rng = np.random.default_rng(4)
+        qb = 8
+        # packed-float-window keys: bitcast of floats in [1.25, 1.75)
+        f = rng.uniform(1.25, 1.75, size=(8, 768)).astype(np.float32)
+        pool = f.view(np.int32)
+        # collapse to few quanta so tau-ties actually occur
+        pool = ((pool >> (qb + 10)) << (qb + 10)).astype(np.int32)
+        pool = pool | rng.integers(0, 1 << qb, size=pool.shape).astype(
+            np.int32
+        )
+        k = 50
+        ref_keys, _ = jax.lax.top_k(jnp.asarray(pool), k)
+        got_keys, got_lanes = select_topk_keys(
+            jnp.asarray(pool), k, quantum_bits=qb, shared_exponent=True,
+            interpret=True, batch_tile=8,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_keys) >> qb, np.asarray(got_keys) >> qb
+        )
+        gathered = np.take_along_axis(
+            pool, np.asarray(got_lanes), axis=1
+        )
+        np.testing.assert_array_equal(gathered, np.asarray(got_keys))
+        for row in range(pool.shape[0]):
+            lanes_r = np.asarray(got_lanes)[row]
+            assert len(set(lanes_r.tolist())) == k
+
+    def test_threshold_selector_through_packed_path(self):
+        """packed_certified_topk with selector=threshold agrees with
+        selector=topk at quantum granularity (decoded scores identical;
+        certificates match)."""
+        import numpy as np
+
+        from xfmr_rec_tpu.ops.topk_pallas import packed_certified_topk
+
+        rng = np.random.default_rng(5)
+        corpus = rng.normal(size=(2048, 16)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+        queries = rng.normal(size=(8, 16)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+        kw = dict(
+            batch_tile=8, corpus_tile=256, merge_levels=1, merge_keep=3,
+            recompute_scores=False, interpret=True,
+        )
+        s_ref, p_ref, e_ref = packed_certified_topk(
+            queries, corpus, 20, selector="topk", **kw
+        )
+        s_thr, p_thr, e_thr = packed_certified_topk(
+            queries, corpus, 20, selector="threshold", **kw
+        )
+        # decoded scores are quantum floors -> must agree exactly
+        np.testing.assert_array_equal(
+            np.asarray(s_ref), np.asarray(s_thr)
+        )
+        # certificates may differ only when dmax ties the kth quantum
+        # (tie choice shifts tau's low bits); on random data that is
+        # rare — require near-total agreement, and full soundness below
+        assert (np.asarray(e_ref) == np.asarray(e_thr)).mean() >= 0.8
+        # positions may swap within a tau quantum only; certified rows
+        # must select the same score multiset, checked via the dense ref
+        dense = queries @ corpus.T
+        for row in range(8):
+            if not bool(np.asarray(e_thr)[row]):
+                continue
+            want = np.sort(dense[row])[::-1][:20]
+            got = np.sort(dense[row][np.asarray(p_thr)[row]])[::-1]
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-3)
+
+    def test_tie_overflow_keeps_greater_keys(self):
+        """Ties at tau overflowing the capacity must never crowd out
+        GREATER keys in later lanes (regression: flat lane-order rank
+        dropped them)."""
+        import jax
+        import jax.numpy as jnp
+
+        from xfmr_rec_tpu.ops.topk_pallas import select_topk_keys
+
+        pool = np.zeros((8, 768), dtype=np.int32)
+        pool[:, :300] = 1000  # 300 ties clustered in early lanes
+        pool[:, 700:720] = 2000  # the true top keys live late
+        k = 100
+        ref_keys, _ = jax.lax.top_k(jnp.asarray(pool), k)
+        got_keys, got_lanes = select_topk_keys(
+            jnp.asarray(pool), k, interpret=True, batch_tile=8
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_keys), np.asarray(got_keys)
+        )
+        gathered = np.take_along_axis(
+            pool, np.asarray(got_lanes), axis=1
+        )
+        np.testing.assert_array_equal(gathered, np.asarray(got_keys))

@@ -915,6 +915,289 @@ def merge_lane_pairs(
     return top1, top2, jnp.max(disc, axis=-1)
 
 
+def _packed_scan_select_kernel(
+    *refs,
+    corpus_tile,
+    true_num_items,
+    idx_bits,
+    reserve_bits,
+    bias_in_dot,
+    lane_shuffle,
+    has_scales,
+    num_tiles,
+    k,
+    capacity,
+    fb,
+    quantum_bits,
+    merge_levels,
+    merge_keep,
+):
+    """Packed slot-contest scan with the selection FUSED as an epilogue.
+
+    Identical per-tile contest to `_packed_scan2_kernel`, but the slot
+    buffers live in VMEM scratch instead of kernel outputs; at the last
+    corpus step the lane-pair merge + `_threshold_select_body` run on
+    the still-resident buffers and only the (bt, capacity) winners (and
+    a reduced per-row discard max) leave the kernel. This removes the
+    whole intermediate HBM round trip of the two-kernel path — 3
+    (B, ct) i32 stores + the (B, 1.5ct) pool store/load (~250 MB at
+    B=4096, ct=2048) — plus one dispatch/grid overhead, which the phase
+    probe (runs/bench_select_phases.py) measured at ~2 ms per call.
+
+    MEASURED OUTCOME (runs/bench_fused_select.py, v5e, bench geometry):
+    18.2 ms/batch vs 15.9 for the two-kernel threshold path and 17.7
+    for lax.top_k — the epilogue's VMEM working set (~6 extra i32
+    arrays at (bt, 1.5ct)) degrades the scan loop's scheduling more
+    than the saved traffic buys back. Kept for A/B and future
+    VMEM-budget work; `selector="auto"` routes to the two-kernel path.
+    """
+    if has_scales:
+        (q_ref, corpus_ref, scales_ref, keys_out, meta_out, dmax_out,
+         key1_ref, key2_ref, dmax_ref) = refs
+    else:
+        (q_ref, corpus_ref, keys_out, meta_out, dmax_out,
+         key1_ref, key2_ref, dmax_ref) = refs
+        scales_ref = None
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _init():
+        key1_ref[:] = jnp.zeros_like(key1_ref)
+        key2_ref[:] = jnp.zeros_like(key2_ref)
+        dmax_ref[:] = jnp.zeros_like(dmax_ref)
+
+    scores = _tile_scores(q_ref, corpus_ref, scales_ref)
+    if lane_shuffle:
+        shift = (step * lane_shuffle) % corpus_tile
+        scores = pltpu.roll(scores, shift, 1)
+    keys = _packed_keys(
+        scores, step, idx_bits, reserve_bits=reserve_bits,
+        biased=bias_in_dot,
+    )
+    if true_num_items is not None:
+        iota = jax.lax.broadcasted_iota(jnp.int32, keys.shape, dimension=1)
+        if lane_shuffle:
+            shift = (step * lane_shuffle) % corpus_tile
+            iota = jax.lax.rem(iota - shift + corpus_tile, corpus_tile)
+        keys = jnp.where(
+            step * corpus_tile + iota < true_num_items, keys, 0
+        )
+    best1, best2 = key1_ref[:], key2_ref[:]
+    new1 = jnp.maximum(best1, keys)
+    contender = jnp.minimum(best1, keys)
+    new2 = jnp.maximum(best2, contender)
+    discarded = jnp.minimum(best2, contender)
+    dmax_ref[:] = jnp.maximum(dmax_ref[:], discarded)
+    key1_ref[:] = new1
+    key2_ref[:] = new2
+
+    @pl.when(step == num_tiles - 1)
+    def _epilogue():
+        key1, key2 = key1_ref[:], key2_ref[:]
+        dmax_row = jnp.max(dmax_ref[:], axis=1, keepdims=True)
+        if merge_levels and merge_keep == 3:
+            k1, k2, k3, disc = merge_lane_pairs3(key1, key2, 0)
+            dmax_row = jnp.maximum(dmax_row, disc[:, None])
+            pool = jnp.concatenate([k1, k2, k3], axis=-1)
+        else:
+            for level in range(merge_levels):
+                key1, key2, disc = merge_lane_pairs(key1, key2, level)
+                dmax_row = jnp.maximum(dmax_row, disc[:, None])
+            pool = jnp.concatenate([key1, key2], axis=-1)
+        sel_keys, sel_meta = _threshold_select_body(
+            pool,
+            k=k,
+            capacity=capacity,
+            fb=fb,
+            quantum_bits=quantum_bits,
+            shared_exponent=True,
+        )
+        keys_out[:] = sel_keys
+        meta_out[:] = sel_meta
+        dmax_out[:] = jnp.broadcast_to(dmax_row, dmax_out.shape)
+
+
+def packed_lane_scan_select(
+    queries: Array,
+    corpus: Array,
+    k: int,
+    *,
+    score_bound: float | Array = 1.0,
+    batch_tile: int = DEFAULT_BATCH_TILE,
+    corpus_tile: int = DEFAULT_CORPUS_TILE,
+    idx_bits: int | None = None,
+    merge_levels: int = 0,
+    merge_keep: int = 2,
+    capacity: int | None = None,
+    bias_in_dot: bool = False,
+    true_num_items: int | None = None,
+    lane_shuffle: int = 0,
+    scales: Array | None = None,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """Fused packed sweep + merge + threshold-select in ONE kernel.
+
+    Returns (sel_keys (B, capacity) i32, sel_lanes (B, capacity) i32,
+    dmax (B,) i32): the per-row top-`capacity` candidate keys of the
+    merged slot pool (rank-ordered, NOT sorted; empty slots key 0 /
+    lane 0), their pool lane indices (same decode contract as the
+    two-stage path: `unpack_positions` with reserve_bits=merge_levels),
+    and the per-row discard-max already folded with the merge discards.
+    Callers finish with `lax.top_k` over `capacity` lanes.
+
+    Ties at the key quantum may resolve to either tied element — the
+    certificate's existing exactness granularity. Same `score_bound` /
+    `bias_in_dot` / `scales` contract as `packed_lane_scan`.
+    """
+    batch = queries.shape[0]
+    num_items = corpus.shape[0]
+    batch_tile = min(batch_tile, batch)
+    corpus_tile = min(corpus_tile, num_items)
+    if batch % batch_tile or num_items % corpus_tile:
+        msg = (
+            f"shapes must tile evenly: {batch=} % {batch_tile=}, "
+            f"{num_items=} % {corpus_tile=}"
+        )
+        raise ValueError(msg)
+    num_tiles = num_items // corpus_tile
+    if idx_bits is None:
+        idx_bits = max((num_tiles - 1).bit_length(), 1)
+    if num_tiles > (1 << idx_bits):
+        msg = f"{num_tiles=} does not fit in {idx_bits=}"
+        raise ValueError(msg)
+    if idx_bits + merge_levels > 20:
+        msg = (
+            f"{idx_bits=} + reserve {merge_levels} leaves fewer than 3 "
+            "mantissa bits of score resolution"
+        )
+        raise ValueError(msg)
+    if merge_keep == 3 and merge_levels:
+        merge_levels = 1 if 3 * (corpus_tile >> 1) >= k else 0
+    while merge_levels and 2 * (corpus_tile >> merge_levels) < k:
+        merge_levels -= 1
+    if merge_levels and merge_keep == 3:
+        pool_width = 3 * (corpus_tile >> 1)
+    else:
+        pool_width = 2 * (corpus_tile >> merge_levels)
+    if capacity is None:
+        capacity = _round_up(k, 128)
+    if not 0 < k <= capacity:
+        msg = f"need 0 < {k=} <= {capacity=}"
+        raise ValueError(msg)
+    if capacity % 128 or pool_width % 128:
+        msg = f"{capacity=} / {pool_width=} must be multiples of 128"
+        raise ValueError(msg)
+    fb = pool_width.bit_length()
+    if 2 * fb + 1 > 31:
+        msg = f"merged pool width {pool_width} too wide for meta routing"
+        raise ValueError(msg)
+
+    scale = 0.25 / jnp.asarray(score_bound, dtype=jnp.float32)
+    queries = (queries.astype(jnp.float32) * scale).astype(queries.dtype)
+    if bias_in_dot:
+        if scales is not None:
+            msg = "bias_in_dot is incompatible with int8 scales"
+            raise ValueError(msg)
+        if corpus.shape[1] != queries.shape[1] + 1:
+            msg = (
+                "bias_in_dot expects the corpus to carry a trailing "
+                f"1.5 column: corpus dim {corpus.shape[1]} != query dim "
+                f"{queries.shape[1]} + 1"
+            )
+            raise ValueError(msg)
+        queries = jnp.concatenate(
+            [queries, jnp.ones((batch, 1), dtype=queries.dtype)], axis=1
+        )
+    dim = queries.shape[1]
+
+    grid = (batch // batch_tile, num_tiles)
+    block_in = [
+        pl.BlockSpec(
+            (batch_tile, dim), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (corpus_tile, dim), lambda b, i: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [queries, corpus]
+    if scales is not None:
+        scales = jnp.asarray(scales, dtype=jnp.float32).reshape(1, -1)
+        block_in.append(
+            pl.BlockSpec(
+                (1, corpus_tile), lambda b, i: (0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(scales)
+    if true_num_items is not None and true_num_items >= num_items:
+        true_num_items = None
+    kernel = functools.partial(
+        _packed_scan_select_kernel,
+        corpus_tile=corpus_tile,
+        true_num_items=true_num_items,
+        idx_bits=idx_bits,
+        reserve_bits=merge_levels,
+        bias_in_dot=bias_in_dot,
+        lane_shuffle=lane_shuffle,
+        has_scales=scales is not None,
+        num_tiles=num_tiles,
+        k=k,
+        capacity=capacity,
+        fb=fb,
+        quantum_bits=idx_bits + merge_levels,
+        merge_levels=merge_levels,
+        merge_keep=merge_keep,
+    )
+    sel_spec = pl.BlockSpec(
+        (batch_tile, capacity), lambda b, i: (b, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dmax_spec = pl.BlockSpec(
+        (batch_tile, 128), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+    )
+    item_bytes = corpus.dtype.itemsize
+    # VMEM: scan working set (score f32 + 3 i32 scratch at (bt, ct)) +
+    # double-buffered corpus tiles + epilogue pool/keys/meta/roll temps
+    # at (bt, 1.5ct)
+    vmem_needed = (
+        16 * batch_tile * corpus_tile
+        + 2 * corpus_tile * dim * item_bytes
+        + batch_tile * dim * queries.dtype.itemsize
+        + 6 * batch_tile * pool_width * 4
+        + (2 * corpus_tile * 4 if scales is not None else 0)
+        + 2 * 1024 * 1024  # slack
+    )
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=max(vmem_needed, 16 * 1024 * 1024)
+    )
+    sel_keys, sel_meta, dmax = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=block_in,
+        out_specs=[sel_spec, sel_spec, dmax_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, capacity), jnp.int32),
+            jax.ShapeDtypeStruct((batch, capacity), jnp.int32),
+            jax.ShapeDtypeStruct((batch, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, corpus_tile), jnp.int32),
+            pltpu.VMEM((batch_tile, corpus_tile), jnp.int32),
+            pltpu.VMEM((batch_tile, corpus_tile), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * num_items * dim,
+            bytes_accessed=corpus.size * corpus.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(*operands)
+    sel_lanes = jnp.maximum((sel_meta & ((1 << fb) - 1)) - 1, 0)
+    return sel_keys, sel_lanes, dmax[:, 0]
+
+
 def unpack_positions(
     keys: Array,
     lane_index: Array,
@@ -949,6 +1232,223 @@ def unpack_positions(
     return tile * corpus_tile + col
 
 
+def _threshold_select_body(
+    pool, *, k, capacity, fb, quantum_bits, shared_exponent
+):
+    """Per-row top-k candidate extraction from a VMEM-resident key pool.
+
+    The selection engine shared by `_select_kernel` (standalone pallas
+    call) and `_packed_scan_select_kernel` (fused into the scan's last
+    corpus step). Replaces `jax.lax.top_k` over the wide (bt, W) int32
+    pool (measured 7.4 ms at (4096, 3072) on v5e — ~40% of the packed
+    pass-1 cost):
+
+    1. k-th key per row by binary search on the key BITS (keys are
+       non-negative int32, so integer order == key order): one round of
+       compare + row-reduce per searched bit. `shared_exponent` seeds
+       the search with the high 9 bits of the row max (sound when every
+       nonzero key shares them — packed floats in [1, 2) do), and
+       `quantum_bits` stops the search above the index bits: tau is then
+       the k-th key at QUANTUM granularity, and dropped tau-ties differ
+       from kept ones only below the quantum — the packed certificate's
+       existing semantics.
+    2. keep-set + rank. Candidates split into two classes: keys ABOVE
+       the tau quantum (all must be kept — there are < k of them) and
+       tau-quantum ties (interchangeable; kept in lane order up to the
+       remaining capacity). Dropping by flat lane-order rank alone
+       would be UNSOUND: ties clustered in early lanes could crowd out
+       a greater key in a later lane. Both class ranks ride ONE prefix
+       sum (Hillis-Steele over lanes, log2(W) roll+add steps) by
+       packing the counters into one int32 (gt << 16 | tie; each
+       < width <= 2^15, no carry).
+    3. butterfly compaction: each candidate moves LEFT by its distance
+       dist = lane - rank, one bit per stage (LSB first). For monotone
+       compaction routes this is conflict-free (two candidates never
+       contend for one lane — property-tested against brute force).
+       Key + meta (lane+1 | dist << fb) move together, so no
+       post-kernel gather is needed (a (B, W) take_along_axis outside
+       measured SLOWER than lax.top_k itself — TPU dynamic lane-gathers
+       are the one thing this kernel must avoid).
+
+    Returns ((bt, capacity) keys, (bt, capacity) meta), rank-ordered
+    (= lane-ordered, NOT key-sorted); empty slots hold 0. The caller
+    decodes lanes from meta and finishes with a cheap `lax.top_k` over
+    `capacity` lanes to sort.
+    """
+    width = pool.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, pool.shape, dimension=1)
+
+    # 1. k-th largest key per row, by bits
+    if shared_exponent:
+        rowmax = jnp.max(pool, axis=1, keepdims=True)
+        tau = rowmax & ~((1 << 23) - 1)
+        high_bit = 22
+    else:
+        tau = jnp.zeros((pool.shape[0], 1), dtype=jnp.int32)
+        high_bit = 30  # tolerate keys >= 2^30 from a mildly-unsound
+        # score_bound rather than silently mis-select
+    # loops are deliberately UNROLLED (static roll amounts): a
+    # lax.fori_loop variant with dynamic shifts compiled 2x faster
+    # (26 s -> 11.5 s per shape, one-time and cached) but ran ~2 ms
+    # SLOWER per batch at (4096, 3072) — dynamic rotates lower to
+    # slower code than static ones
+    for bit in range(high_bit, quantum_bits - 1, -1):
+        cand = tau | (1 << bit)
+        count = jnp.sum((pool >= cand).astype(jnp.int32), axis=1,
+                        keepdims=True)
+        tau = jnp.where(count >= k, cand, tau)
+
+    # 2. two-class keep-set + rank
+    floor = jnp.maximum(tau, 1)
+    mask_ge = pool >= floor
+    mask_gt = pool >= floor + (1 << quantum_bits)
+    inc = jnp.where(
+        mask_gt, 1 << 16, jnp.where(mask_ge, 1, 0)
+    ).astype(jnp.int32)
+    total = inc
+    shift = 1
+    while shift < width:
+        rolled = pltpu.roll(total, shift, 1)
+        total = total + jnp.where(iota >= shift, rolled, 0)
+        shift *= 2
+    excl = total - inc  # exclusive packed (gt_rank << 16 | tie_rank)
+    tie_rank = excl & 0xFFFF
+    gt_rank = excl >> 16
+    n_gt = total[:, -1:] >> 16  # per-row total of above-quantum keys
+    budget = capacity - n_gt  # >= capacity - (k - 1) >= 1
+    mask = mask_gt | (mask_ge & (tie_rank < budget))
+    rank = gt_rank + jnp.minimum(tie_rank, budget)
+    dist = jnp.where(mask, iota - rank, 0)
+
+    # 3. butterfly compaction
+    meta = jnp.where(mask, (iota + 1) | (dist << fb), 0)
+    keys = jnp.where(mask, pool, 0)
+    stage_shift = 1
+    while stage_shift < width:
+        moving = ((meta >> fb) & stage_shift) != 0  # empty lanes: meta 0
+        in_keys = pltpu.roll(keys, width - stage_shift, 1)
+        in_meta = pltpu.roll(meta, width - stage_shift, 1)
+        in_moving = ((in_meta >> fb) & stage_shift) != 0
+        # wrapped-in lanes can never carry a moving element: remaining
+        # dist <= lane index, so lanes < stage_shift have that bit clear
+        keys = jnp.where(in_moving, in_keys, jnp.where(moving, 0, keys))
+        meta = jnp.where(
+            in_moving,
+            in_meta - (stage_shift << fb),
+            jnp.where(moving, 0, meta),
+        )
+        stage_shift *= 2
+
+    return keys[:, :capacity], meta[:, :capacity]
+
+
+def _select_kernel(
+    pool_ref, keys_ref, meta_ref, *, k, capacity, fb, quantum_bits,
+    shared_exponent,
+):
+    keys, meta = _threshold_select_body(
+        pool_ref[:],
+        k=k,
+        capacity=capacity,
+        fb=fb,
+        quantum_bits=quantum_bits,
+        shared_exponent=shared_exponent,
+    )
+    keys_ref[:] = keys
+    meta_ref[:] = meta
+
+
+def select_topk_keys(
+    pool: Array,
+    k: int,
+    *,
+    capacity: int = 128,
+    batch_tile: int = 256,
+    quantum_bits: int = 0,
+    shared_exponent: bool = False,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """Top-k of a non-negative int32 key pool, Pallas threshold-select.
+
+    Returns (keys (B, k) descending, lane_index (B, k)) — drop-in for
+    ``jax.lax.top_k(pool, k)`` when 0 <= pool < 2^31 and ties may
+    resolve to either tied element (score-multiset semantics, the same
+    contract as the packed certificate). Measured 5.5 ms vs lax.top_k's
+    7.4 ms at (4096, 3072) on v5e — ~2 ms of which is fixed
+    pallas-call + pool-HBM cost (runs/bench_select_phases.py), so in
+    the packed pass-1 composition the net win is ~1.8 ms/batch
+    (runs/bench_fused_select.py).
+
+    `quantum_bits` > 0 relaxes the k-th-key search to that granularity:
+    candidates tied with the k-th key in their bits >= quantum_bits may
+    substitute for each other. For packed keys pass the index-bit count
+    — ties then differ only below the score quantum, which is already
+    the exactness granularity of the certificate. `shared_exponent`
+    asserts every nonzero key shares bits 30..23 (true for packed
+    float-window keys) and skips searching them.
+
+    `capacity` must hold k and be a multiple of 128 (lane alignment);
+    candidates beyond `capacity` are tau-ties and interchangeable.
+    """
+    if not 0 < k <= capacity:
+        msg = f"need 0 < {k=} <= {capacity=}"
+        raise ValueError(msg)
+    if capacity % 128:
+        msg = f"{capacity=} must be a multiple of 128"
+        raise ValueError(msg)
+    batch, width = pool.shape
+    if width % 128:
+        msg = f"pool width {width} must be a multiple of 128"
+        raise ValueError(msg)
+    if width <= capacity:
+        return jax.lax.top_k(pool, k)
+    fb = width.bit_length()  # lane+1 and dist both fit in fb bits
+    if 2 * fb + 1 > 31:
+        msg = f"pool width {width} too wide for packed meta routing"
+        raise ValueError(msg)
+    batch_tile = min(batch_tile, batch)
+    pad_rows = -batch % batch_tile
+    if pad_rows:
+        pool = jnp.pad(pool, ((0, pad_rows), (0, 0)))
+    padded = pool.shape[0]
+    kernel = functools.partial(
+        _select_kernel,
+        k=k,
+        capacity=capacity,
+        fb=fb,
+        quantum_bits=quantum_bits,
+        shared_exponent=shared_exponent,
+    )
+    # VMEM: the pool block + mask/rank/meta working copies + roll
+    # temps — grant ~8 i32 arrays at (bt, W) with slack
+    vmem_needed = 9 * batch_tile * width * 4 + 2 * 1024 * 1024
+    out_spec = pl.BlockSpec((batch_tile, capacity), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)
+    sel_keys, meta = pl.pallas_call(
+        kernel,
+        grid=(padded // batch_tile,),
+        in_specs=[
+            pl.BlockSpec((batch_tile, width), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((padded, capacity), jnp.int32),
+            jax.ShapeDtypeStruct((padded, capacity), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(vmem_needed, 16 * 1024 * 1024)
+        ),
+        interpret=interpret,
+    )(pool)
+    # empty slots (meta 0) clamp to lane 0 — their key 0 keeps them out
+    # of any top-k that matters, and downstream gathers stay in-bounds
+    sel_lanes = jnp.maximum((meta[:batch] & ((1 << fb) - 1)) - 1, 0)
+    top_keys, sel = jax.lax.top_k(sel_keys[:batch], k)
+    lanes = jnp.take_along_axis(sel_lanes, sel, axis=-1)
+    return top_keys, lanes
+
+
 def packed_certified_parts(
     queries: Array,
     corpus: Array,
@@ -964,6 +1464,7 @@ def packed_certified_parts(
     true_num_items: int | None = None,
     lane_shuffle: int = 0,
     scales: Array | None = None,
+    selector: str = "auto",
     interpret: bool = False,
 ) -> tuple[Array, Array, Array]:
     """Packed scan + top-k: (top_keys (B,k) i32, positions (B,k) i32,
@@ -980,6 +1481,16 @@ def packed_certified_parts(
     holding >= 4 top-k items fail (see `merge_lane_pairs3`).
     `bias_in_dot` needs a corpus with a trailing 1.5 column (see
     `packed_lane_scan`).
+
+    `selector` picks the candidate-pool top-k: "fused" runs the scan,
+    merge and threshold-select as ONE kernel (`packed_lane_scan_select`
+    — no intermediate HBM pool, selection at the KEY QUANTUM so
+    tau-quantum ties may swap vs lax.top_k, within the certificate's
+    existing exactness granularity), "threshold" runs the scan then
+    `select_topk_keys` as a second kernel (full-width pool in HBM;
+    kept for A/B timing), "topk" uses `jax.lax.top_k` over the pool
+    (full-key tie order), "auto" = fused whenever the pool is wide
+    enough to benefit, else topk.
     """
     if merge_keep not in (2, 3):
         msg = f"merge_keep must be 2 or 3, got {merge_keep}"
@@ -993,6 +1504,49 @@ def packed_certified_parts(
         merge_levels = 1 if 3 * (ct >> 1) >= k else 0
     while merge_levels and 2 * (ct >> merge_levels) < k:
         merge_levels -= 1
+    if selector not in ("auto", "fused", "threshold", "topk"):
+        msg = f"unknown {selector=}"
+        raise ValueError(msg)
+    capacity = _round_up(k, 128)
+    if merge_levels and merge_keep == 3:
+        pool_width = 3 * (ct >> 1)
+    else:
+        pool_width = 2 * (ct >> merge_levels)
+    # "auto" routes to the TWO-kernel threshold path: measured on v5e at
+    # the bench geometry (runs/bench_fused_select.py) pass-1 is 15.9 ms
+    # vs 17.7 (lax.top_k) and 18.2 (fully-fused epilogue — its VMEM
+    # working set degrades the scan loop more than the saved dispatch
+    # and pool round-trip buy back)
+    if selector == "fused":
+        sel_keys, sel_lanes, dmax = packed_lane_scan_select(
+            queries,
+            corpus,
+            k,
+            score_bound=score_bound,
+            batch_tile=batch_tile,
+            corpus_tile=corpus_tile,
+            idx_bits=idx_bits,
+            merge_levels=merge_levels,
+            merge_keep=merge_keep,
+            capacity=capacity,
+            bias_in_dot=bias_in_dot,
+            true_num_items=true_num_items,
+            lane_shuffle=lane_shuffle,
+            scales=scales,
+            interpret=interpret,
+        )
+        top_keys, sel = jax.lax.top_k(sel_keys, k)
+        top_lanes = jnp.take_along_axis(sel_lanes, sel, axis=-1)
+        positions = unpack_positions(
+            top_keys,
+            top_lanes,
+            corpus_tile=ct,
+            idx_bits=idx_bits,
+            lane_shuffle=lane_shuffle,
+            reserve_bits=merge_levels,
+            merge_levels=merge_levels,
+        )
+        return top_keys, positions, dmax
     keys, dmax = packed_lane_scan(
         queries,
         corpus,
@@ -1017,7 +1571,20 @@ def packed_certified_parts(
             key1, key2, disc = merge_lane_pairs(key1, key2, level)
             dmax = jnp.maximum(dmax, disc)
         pool = jnp.concatenate([key1, key2], axis=-1)
-    top_keys, top_lanes = jax.lax.top_k(pool, k)
+    use_threshold = selector == "threshold" or (
+        selector == "auto" and pool.shape[1] >= 4 * capacity
+    )
+    if use_threshold:
+        top_keys, top_lanes = select_topk_keys(
+            pool,
+            k,
+            capacity=capacity,
+            quantum_bits=idx_bits + merge_levels,
+            shared_exponent=True,
+            interpret=interpret,
+        )
+    else:
+        top_keys, top_lanes = jax.lax.top_k(pool, k)
     positions = unpack_positions(
         top_keys,
         top_lanes,
@@ -1083,6 +1650,7 @@ def packed_certified_topk(
     true_num_items: int | None = None,
     scales: Array | None = None,
     recompute_scores: bool = True,
+    selector: str = "auto",
     interpret: bool = False,
 ) -> tuple[Array, Array, Array]:
     """Packed-key certified top-k: (scores (B,k) f32, positions (B,k)
@@ -1116,6 +1684,7 @@ def packed_certified_topk(
         bias_in_dot=bias_in_dot,
         true_num_items=true_num_items,
         scales=scales,
+        selector=selector,
         interpret=interpret,
     )
     tau = top_keys[:, k - 1]
@@ -1157,6 +1726,7 @@ def packed_topk_excluding(
     bias_in_dot: bool = False,
     scales: Array | None = None,
     recompute_scores: bool = False,
+    selector: str = "auto",
     interpret: bool = False,
 ) -> tuple[Array, Array]:
     """Packed-key top-k with per-row exclusions (the `search` hot path).
@@ -1211,6 +1781,7 @@ def packed_topk_excluding(
         bias_in_dot=bias_in_dot,
         true_num_items=true_num_items,
         scales=scales,
+        selector=selector,
         interpret=interpret,
     )
     if exclude_positions is not None:
@@ -1318,6 +1889,7 @@ def packed_guaranteed_topk(
     retry_width: int | None = None,
     retries: int = 2,
     recompute_scores: bool = False,
+    selector: str = "auto",
     interpret: bool = False,
 ) -> tuple[Array, Array, Array]:
     """Guaranteed-exact top-k as ONE jittable device pipeline.
@@ -1382,6 +1954,7 @@ def packed_guaranteed_topk(
             true_num_items=true_num_items,
             lane_shuffle=shuffle,
             scales=scales,
+            selector=selector,
             interpret=interpret,
         )
 
