@@ -1,7 +1,8 @@
 """Serving-path benchmark on the trained synthetic-ML1M model.
 
-Restores the best checkpoint of the flagship run (round 2:
-runs/ml1m-logistic-long, best val NDCG@20 0.0577), writes the
+Restores the best checkpoint of the flagship run (round 3:
+runs/ml1m-logistic-bertinit-long — the BERT-init retune; checkpoints
+are gitignored, so the run must exist locally), writes the
 deployable artifact, loads it through RecommenderEngine, and measures:
 - single-request recommend_with_user_id latency (sequential; includes
   the axon relay RTT — noted as such),
@@ -15,7 +16,7 @@ import json
 import pathlib
 import time
 
-RUN_DIR = pathlib.Path("runs/ml1m-logistic-long")
+RUN_DIR = pathlib.Path("runs/ml1m-logistic-bertinit-long")
 ARTIFACT = pathlib.Path("artifacts/ml1m-logistic")
 
 
