@@ -14,9 +14,11 @@ selection width is 1.5ct while only 4-deep pair collisions can evade
 certification). Rows whose discard-max certificate fails are gathered
 in-graph and re-swept with shuffled lane mappings (up to 3 conditional
 rounds, each skipped on device once everything certifies); candidate
-pools merge in key space with position dedupe. Certification is at the
-key quantum (~5e-4 of a unit score here, an order of magnitude below
-the bf16 scoring noise).
+pools merge in key space with position dedupe. Retry rounds use the
+default per-round width schedule (batch/16 then batch/64, sized to the
+measured failure rates — runs/sweep_retry_width.py). Certification is
+at the key quantum (~5e-4 of a unit score here, an order of magnitude
+below the bf16 scoring noise).
 
 Measured residual: across the benched batches the pipeline certifies
 every row (certified_frac prints below); any residual row would fall
@@ -59,7 +61,7 @@ BATCH = 4096
 TOP_K = 100
 BATCH_TILE = 512
 CORPUS_TILE = 2048
-RETRY_WIDTH = 512
+RETRY_WIDTH = None  # default per-round schedule: batch/16, batch/64, ...
 RETRIES = 3
 WARMUP = 3
 ITERS = 20

@@ -128,9 +128,13 @@ def main() -> None:
         )
 
     recall = excl_hits / excl_total
-    # 0.998 leaves room for legitimate quantum-boundary tie swaps (items
-    # within ~5e-4 of the k-th score may exchange membership)
-    assert recall >= 0.998, f"exclusion-path recall {recall} < 0.998"
+    # 0.997: quantum-boundary tie swaps (items within ~5e-4 of the k-th
+    # score may exchange membership) plus the keep-2 lane-pair merge the
+    # exclusion path defaults to (measured 0.99772 here vs keep-3's
+    # 0.99874; keep-2 buys 194k vs 158k QPS on this uncertified path —
+    # runs/sweep_excl_keep.py. Callers needing the last 0.1% recall pass
+    # merge_keep=3, and exactness-critical callers use search_certified.)
+    assert recall >= 0.997, f"exclusion-path recall {recall} < 0.997"
     print(
         json.dumps(
             {

@@ -974,6 +974,37 @@ class TestMergeKeep3AndGuaranteed:
             final += int(np.asarray(ef).sum())
         assert final >= pass1
 
+    def test_guaranteed_pipeline_retry_width_schedule(self):
+        """Per-round retry widths (sequence form) behave like a uniform
+        width: same certificates, same results on certified rows."""
+        from xfmr_rec_tpu.ops.topk_pallas import packed_guaranteed_topk
+
+        q, c = self._normed(32, N, D, seed=57)
+        kwargs = dict(
+            score_bound=1.0, batch_tile=8, corpus_tile=128,
+            interpret=True,
+        )
+        s_u, p_u, e_u = packed_guaranteed_topk(
+            q, c, K, retry_width=16, retries=2, **kwargs
+        )
+        # schedule shorter than retries pads with its last width
+        s_s, p_s, e_s = packed_guaranteed_topk(
+            q, c, K, retry_width=(16,), retries=2, **kwargs
+        )
+        np.testing.assert_array_equal(np.asarray(e_u), np.asarray(e_s))
+        np.testing.assert_array_equal(np.asarray(p_u), np.asarray(p_s))
+        # a shrinking schedule still certifies rows and matches dense
+        s_k, p_k, e_k = packed_guaranteed_topk(
+            q, c, K, retry_width=(16, 8), retries=2, **kwargs
+        )
+        dense = q @ c.T
+        quantum = 2.0 ** (-23 + 2 + 1) * 4.0
+        assert np.asarray(e_k).mean() > 0.9
+        for b in np.flatnonzero(np.asarray(e_k)):
+            want = np.sort(dense[b])[-K:][::-1]
+            got = np.sort(np.asarray(s_k[b]))[::-1]
+            np.testing.assert_allclose(got, want, atol=quantum, rtol=1e-5)
+
     def test_guaranteed_exact_scores_epilogue(self):
         from xfmr_rec_tpu.ops.topk_pallas import packed_guaranteed_topk
 

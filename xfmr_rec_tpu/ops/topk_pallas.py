@@ -39,6 +39,7 @@ resident in VMEM across the whole corpus sweep for one batch tile.
 from __future__ import annotations
 
 import functools
+from collections.abc import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -1722,11 +1723,11 @@ def packed_topk_excluding(
     batch_tile: int = DEFAULT_BATCH_TILE,
     corpus_tile: int = DEFAULT_CORPUS_TILE,
     merge_levels: int = 1,
-    merge_keep: int = 3,
+    merge_keep: int = 2,
     bias_in_dot: bool = False,
     scales: Array | None = None,
     recompute_scores: bool = False,
-    selector: str = "auto",
+    selector: str = "topk",
     interpret: bool = False,
 ) -> tuple[Array, Array]:
     """Packed-key top-k with per-row exclusions (the `search` hot path).
@@ -1737,9 +1738,14 @@ def packed_topk_excluding(
     wanted item out of the fetch. Merging auto-disables (merge_levels
     falls back to 0, restoring the full 2ct pool) when k + E exceeds
     the merged pool, so any width the f32 kernel accepts works here
-    too. The default keep-3 merge holds the candidate pool at 1.5ct
-    (vs ct for keep-2). No exactness certificate is returned (parity
-    with the f32 excluding path). Scores are quantum-floor decodes by
+    too. No exactness certificate is returned (parity with the f32
+    excluding path), so the merge policy here is a pure recall/speed
+    trade with no certification-rate stake — and measured at the
+    serving geometry (1M x 64, B=2048, k=100, E=32, v5e) keep-2 +
+    lax.top_k selection is strictly better than the certified path's
+    keep-3 + threshold defaults: 197k vs 158k QPS for 0.086% recall
+    (0.99515 vs 0.99601, runs/sweep_excl_keep.py) — hence the
+    different defaults below. Scores are quantum-floor decodes by
     default or exact f32 with recompute_scores=True.
     """
     batch = queries.shape[0]
@@ -1886,7 +1892,7 @@ def packed_guaranteed_topk(
     bias_in_dot: bool = False,
     true_num_items: int | None = None,
     scales: Array | None = None,
-    retry_width: int | None = None,
+    retry_width: int | Sequence[int] | None = None,
     retries: int = 2,
     recompute_scores: bool = False,
     selector: str = "auto",
@@ -1910,10 +1916,16 @@ def packed_guaranteed_topk(
     certificate; with the keep-3 merge and 2 retries the expected
     uncertified residual is ~(1 - 0.96)^3 — callers needing a hard
     guarantee re-run `~exact` rows through the dense path (rare enough
-    that it never shows in throughput). Rows beyond `retry_width`
-    (default batch/8, >= 64) in a pathologically-bad batch simply stay
-    uncertified — the guarantee contract is unchanged, only the
-    fallback rate grows.
+    that it never shows in throughput). `retry_width` may be an int
+    (every round) or a per-round sequence; the default schedule is
+    batch/16 for round 1 and batch/64 after (all >= 64) — sized to the
+    measured ~3.6% pass-1 failure rate times ~0.036 per decorrelated
+    retry, with >6 sigma margin (runs/sweep_retry_width.py: this
+    schedule measures certified_frac 1.0000 at 202.5k QPS vs the
+    uniform batch/8 schedule's 153.5k at the bench geometry). An
+    undersized width is a throughput risk, never a correctness one:
+    rows beyond a round's slots simply stay uncertified and take the
+    caller's dense fallback — the guarantee contract is unchanged.
     """
     # device array up front: the conditional retry rounds gather rows
     # with traced indices, which host numpy arrays cannot do
@@ -1934,10 +1946,24 @@ def packed_guaranteed_topk(
     while merge_levels and 2 * (ct >> merge_levels) < k:
         merge_levels -= 1
     min_real = (1 << merge_levels) - 1
+    # Per-round retry widths. Pass-1 failures are ~3.6% of rows (keep-3
+    # merge, measured); a decorrelated retry multiplies the residual by
+    # ~0.036 again, so later rounds need far fewer slots than the first.
+    # Sizing each round's sweep to its expected failure count (with wide
+    # margin) is most of the guaranteed-pipeline speedup: sweep cost is
+    # ~linear in rows. Rows beyond a round's width just stay uncertified
+    # for that round — the contract is unchanged.
     if retry_width is None:
-        retry_width = max(64, batch // 8)
-    retry_width = min(retry_width, batch)
-    retry_width = _round_up(retry_width, 8)
+        widths = [max(64, batch // 16)] + [max(64, batch // 64)] * max(
+            retries - 1, 0
+        )
+    elif isinstance(retry_width, int):
+        widths = [retry_width] * retries
+    else:
+        widths = list(retry_width)
+        if len(widths) < retries:
+            widths += [widths[-1]] * (retries - len(widths))
+    widths = [_round_up(min(w, batch), 8) for w in widths[:retries]]
 
     def sweep(q, shuffle):
         return packed_certified_parts(
@@ -1962,11 +1988,9 @@ def packed_guaranteed_topk(
     tau = keys[:, k - 1]
     exact = (dmax <= tau) & (tau > min_real)
 
-    def retry_round(state, shuffle):
+    def retry_round(state, shuffle, width):
         keys, positions, dmax, exact = state
-        bad_idx = jnp.nonzero(
-            ~exact, size=retry_width, fill_value=0
-        )[0]
+        bad_idx = jnp.nonzero(~exact, size=width, fill_value=0)[0]
         need = ~exact[bad_idx]
         keys2, pos2, dmax2 = sweep(queries[bad_idx], shuffle)
         pool_keys = jnp.concatenate([keys[bad_idx], keys2], axis=-1)
@@ -2003,7 +2027,9 @@ def packed_guaranteed_topk(
         # batch, retries 1-2 ~always fire; a 3rd fires ~P(any residual))
         state = jax.lax.cond(
             jnp.any(~state[3]),
-            lambda s: retry_round(s, shuffle),
+            functools.partial(
+                retry_round, shuffle=shuffle, width=widths[attempt]
+            ),
             lambda s: s,
             state,
         )
