@@ -487,3 +487,40 @@ class TestMicroBatching:
             batched_service.batcher.search_items(
                 '{"t":1}', top_k=10**9
             )
+
+    def test_close_never_hangs_callers(self, artifact):
+        """Callers racing close() either get served or get an error —
+        never a hang — and post-close submissions raise immediately."""
+        import threading
+
+        from xfmr_rec_tpu.serving.batching import MicroBatcher
+
+        engine = RecommenderEngine(artifact, warmup=False)
+        batcher = MicroBatcher(engine, max_batch=4, max_wait_ms=1)
+        outcomes = []
+
+        def caller():
+            try:
+                outcomes.append(
+                    ("ok", batcher.search_items('{"title":"Movie 1 (1995)"}', top_k=3))
+                )
+            except RuntimeError as exc:
+                outcomes.append(("err", exc))
+
+        threads = [threading.Thread(target=caller) for _ in range(8)]
+        for t in threads:
+            t.start()
+        batcher.close()
+        for t in threads:
+            t.join(timeout=10)
+        assert not any(t.is_alive() for t in threads), (
+            "a caller hung across close()"
+        )
+        assert len(outcomes) == 8
+        for kind, payload in outcomes:
+            if kind == "ok":
+                assert len(payload) == 3
+        batcher._worker.join(timeout=5)
+        assert not batcher._worker.is_alive()
+        with pytest.raises(RuntimeError, match="closed"):
+            batcher.search_items('{"t":1}', top_k=3)

@@ -61,6 +61,10 @@ class MicroBatcher:
         self.max_wait_s = max_wait_ms / 1000.0
         self._queue: queue.Queue[_Request] = queue.Queue()
         self._closed = False
+        # submit/close ordering: any request accepted under the lock is
+        # enqueued BEFORE close()'s None sentinel (FIFO), so the worker
+        # always serves it before exiting — no caller can hang
+        self._submit_lock = threading.Lock()
         # observability: how many device dispatches served how many
         # requests (exported by the service /metrics)
         self.requests_served = 0
@@ -78,15 +82,20 @@ class MicroBatcher:
     ):
         """Blocking per-request call; batched under the hood."""
         request = _Request(text, list(exclude_item_ids or []), top_k)
-        self._queue.put(request)
+        with self._submit_lock:
+            if self._closed:
+                msg = "MicroBatcher is closed"
+                raise RuntimeError(msg)
+            self._queue.put(request)
         request.done.wait()
         if request.error is not None:
             raise request.error
         return request.result
 
     def close(self) -> None:
-        self._closed = True
-        self._queue.put(None)  # wake the worker
+        with self._submit_lock:
+            self._closed = True
+            self._queue.put(None)  # wake the worker
 
     # -- worker --------------------------------------------------------
     def _collect(self) -> list[_Request]:
@@ -119,6 +128,16 @@ class MicroBatcher:
                 for request in batch:
                     request.error = exc
                     request.done.set()
+        # drain: fail any request that raced the close() flag so no
+        # caller hangs forever on done.wait()
+        while True:
+            try:
+                request = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if request is not None:
+                request.error = RuntimeError("MicroBatcher is closed")
+                request.done.set()
 
     def _dispatch(self, batch: list[_Request]) -> None:
         from xfmr_rec_tpu.serving.schemas import ItemCandidate
