@@ -53,12 +53,20 @@ def main() -> None:
     def drain(o):
         return float(jnp.sum(jnp.asarray(o[0], jnp.float32)[..., :1]))
 
-    for label, bound in (("default 1.05", 1.05), (f"calibrated {calibrated:.3f}", calibrated)):
-        certfn = jax.jit(
-            lambda q, c, b: packed_certified_topk(
-                q, c, K, score_bound=b, merge_levels=1, merge_keep=3,
-            )
+    # bound rides as a traced argument: ONE compile serves both bounds
+    certfn = jax.jit(
+        lambda q, c, b: packed_certified_topk(
+            q, c, K, score_bound=b, merge_levels=1, merge_keep=3,
         )
+    )
+    gfn = jax.jit(
+        lambda q, c, b: packed_guaranteed_topk(
+            q, c, K, score_bound=b, merge_levels=1, merge_keep=3,
+            retries=3,
+        )
+    )
+
+    for label, bound in (("default 1.05", 1.05), (f"calibrated {calibrated:.3f}", calibrated)):
         bdev = jnp.float32(bound)
         out = None
         for i in range(2):
@@ -83,12 +91,6 @@ def main() -> None:
             flush=True,
         )
 
-        gfn = jax.jit(
-            lambda q, c, b: packed_guaranteed_topk(
-                q, c, K, score_bound=b, merge_levels=1, merge_keep=3,
-                retries=3,
-            )
-        )
         for i in range(2):
             out = gfn(qs[i % 4], corpus_dev, bdev)
         drain(out)

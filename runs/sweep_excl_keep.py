@@ -68,7 +68,6 @@ def main() -> None:
         for i in range(3):
             out = fn(qs[i % 4], excl, corpus_dev)
         drain(out)
-        got = np.asarray(out[1]) if False else None
         res = fn(qs[0], excl, corpus_dev)
         pos0 = np.asarray(jax.block_until_ready(res[1]))
         recall = np.mean(

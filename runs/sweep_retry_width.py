@@ -50,14 +50,11 @@ def main() -> None:
         query_batches.append(jax.device_put(jnp.asarray(q, jnp.bfloat16)))
 
     def drain(result):
-        import jax.numpy as jnp
-
         return float(jnp.sum(result[0].astype(jnp.float32)[..., :1]))
 
     for name, widths in SCHEDULES:
-        import functools
 
-        @functools.partial(jax.jit, static_argnames=())
+        @jax.jit
         def search(q, c, widths=widths):
             return packed_guaranteed_topk(
                 q,

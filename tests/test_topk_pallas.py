@@ -993,6 +993,16 @@ class TestMergeKeep3AndGuaranteed:
         )
         np.testing.assert_array_equal(np.asarray(e_u), np.asarray(e_s))
         np.testing.assert_array_equal(np.asarray(p_u), np.asarray(p_s))
+        # numpy integer widths behave like python ints
+        s_np, p_np, e_np = packed_guaranteed_topk(
+            q, c, K, retry_width=np.int64(16), retries=2, **kwargs
+        )
+        np.testing.assert_array_equal(np.asarray(e_u), np.asarray(e_np))
+        # empty schedule fails loud
+        with pytest.raises(ValueError, match="non-empty"):
+            packed_guaranteed_topk(
+                q, c, K, retry_width=(), retries=2, **kwargs
+            )
         # a shrinking schedule still certifies rows and matches dense
         s_k, p_k, e_k = packed_guaranteed_topk(
             q, c, K, retry_width=(16, 8), retries=2, **kwargs

@@ -1919,10 +1919,11 @@ def packed_guaranteed_topk(
     that it never shows in throughput). `retry_width` may be an int
     (every round) or a per-round sequence; the default schedule is
     batch/16 for round 1 and batch/64 after (all >= 64) — sized to the
-    measured ~3.6% pass-1 failure rate times ~0.036 per decorrelated
-    retry, with >6 sigma margin (runs/sweep_retry_width.py: this
-    schedule measures certified_frac 1.0000 at 202.5k QPS vs the
-    uniform batch/8 schedule's 153.5k at the bench geometry). An
+    measured ~3.6% keep-3 pass-1 failure rate times ~0.036 per
+    decorrelated retry, with >6 sigma margin (runs/sweep_retry_width.py:
+    this schedule measures certified_frac 1.0000 at 202.5k QPS vs the
+    uniform batch/8 schedule's 153.5k at the bench geometry); keep-2
+    callers default to batch/4 then batch/16 for their ~13.2% rate. An
     undersized width is a throughput risk, never a correctness one:
     rows beyond a round's slots simply stay uncertified and take the
     caller's dense fallback — the guarantee contract is unchanged.
@@ -1946,23 +1947,31 @@ def packed_guaranteed_topk(
     while merge_levels and 2 * (ct >> merge_levels) < k:
         merge_levels -= 1
     min_real = (1 << merge_levels) - 1
-    # Per-round retry widths. Pass-1 failures are ~3.6% of rows (keep-3
-    # merge, measured); a decorrelated retry multiplies the residual by
-    # ~0.036 again, so later rounds need far fewer slots than the first.
-    # Sizing each round's sweep to its expected failure count (with wide
-    # margin) is most of the guaranteed-pipeline speedup: sweep cost is
-    # ~linear in rows. Rows beyond a round's width just stay uncertified
-    # for that round — the contract is unchanged.
+    # Per-round retry widths. Pass-1 failures are a small fraction of
+    # rows and a decorrelated retry multiplies the residual by roughly
+    # that fraction again, so later rounds need far fewer slots than
+    # the first. Sizing each round's sweep to its expected failure
+    # count (with wide margin) is most of the guaranteed-pipeline
+    # speedup: sweep cost is ~linear in rows. Rows beyond a round's
+    # width just stay uncertified for that round — the contract is
+    # unchanged. The default schedule keys off the merge policy's
+    # measured pass-1 failure rate: keep-3 ~3.6% -> batch/16 then
+    # batch/64; keep-2 ~13.2% -> batch/4 then batch/16.
     if retry_width is None:
-        widths = [max(64, batch // 16)] + [max(64, batch // 64)] * max(
-            retries - 1, 0
-        )
-    elif isinstance(retry_width, int):
-        widths = [retry_width] * retries
-    else:
-        widths = list(retry_width)
+        if merge_levels and merge_keep == 2:
+            first, later = batch // 4, batch // 16
+        else:
+            first, later = batch // 16, batch // 64
+        widths = [max(64, first)] + [max(64, later)] * max(retries - 1, 0)
+    elif isinstance(retry_width, Sequence):
+        widths = [int(w) for w in retry_width]
+        if not widths:
+            msg = "retry_width sequence must be non-empty"
+            raise ValueError(msg)
         if len(widths) < retries:
             widths += [widths[-1]] * (retries - len(widths))
+    else:
+        widths = [int(retry_width)] * retries
     widths = [_round_up(min(w, batch), 8) for w in widths[:retries]]
 
     def sweep(q, shuffle):

@@ -63,7 +63,8 @@ class MicroBatcher:
         self._closed = False
         # submit/close ordering: any request accepted under the lock is
         # enqueued BEFORE close()'s None sentinel (FIFO), so the worker
-        # always serves it before exiting — no caller can hang
+        # either serves it or the post-loop drain fails it — an accepted
+        # caller can get a shutdown error, but can never hang
         self._submit_lock = threading.Lock()
         # observability: how many device dispatches served how many
         # requests (exported by the service /metrics)
@@ -126,10 +127,15 @@ class MicroBatcher:
                 self._dispatch(batch)
             except Exception as exc:  # noqa: BLE001 — per-batch boundary
                 for request in batch:
-                    request.error = exc
-                    request.done.set()
-        # drain: fail any request that raced the close() flag so no
-        # caller hangs forever on done.wait()
+                    # a request _dispatch already completed holds a
+                    # valid result — don't overwrite it with the batch
+                    # error another row raised
+                    if not request.done.is_set():
+                        request.error = exc
+                        request.done.set()
+        # drain: fail whatever is still queued (accepted-but-unserved
+        # requests from the final batches) so no caller hangs forever
+        # on done.wait()
         while True:
             try:
                 request = self._queue.get_nowait()
