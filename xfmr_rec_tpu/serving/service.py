@@ -333,29 +333,27 @@ class _Handler(BaseHTTPRequestHandler):
         body = self.rfile.read(length) if length else b"{}"
         endpoint = self.path.strip("/")
         start = time.perf_counter()
-        status = 200
         try:
             payload = json.loads(body or b"{}")
-            result = dispatch(self.service, endpoint, payload)
-            self._reply(200, result)
+            status, response = 200, dispatch(self.service, endpoint, payload)
         except KeyError:
             status = 404
-            self._reply(404, {"error": f"unknown endpoint {endpoint}"})
+            response = {"error": f"unknown endpoint {endpoint}"}
         except NotFoundError as exc:
-            status = 404
-            self._reply(404, {"error": str(exc)})
+            status, response = 404, {"error": str(exc)}
         except Exception as exc:  # noqa: BLE001 — error boundary
             status = 500
             logger.exception("error handling %s", endpoint)
-            self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
-        finally:
-            # label safety: unknown paths collapse to one fixed label
-            # (no unbounded cardinality from scanner spam, no label
-            # escaping surprises in the exposition format)
-            label = endpoint if endpoint in _ENDPOINTS else "_unknown"
-            self.metrics.observe(
-                label, status, time.perf_counter() - start
-            )
+            response = {"error": f"{type(exc).__name__}: {exc}"}
+        # label safety: unknown paths collapse to one fixed label (no
+        # unbounded cardinality from scanner spam, no label escaping
+        # surprises in the exposition format). Record BEFORE replying:
+        # this is a threaded server, so a client that already holds our
+        # response can issue a GET /metrics that must see this request
+        # counted (reply-then-record loses that ordering).
+        label = endpoint if endpoint in _ENDPOINTS else "_unknown"
+        self.metrics.observe(label, status, time.perf_counter() - start)
+        self._reply(status, response)
 
     def do_GET(self) -> None:  # noqa: N802 — http.server API
         path = self.path.split("?", 1)[0].strip("/")
