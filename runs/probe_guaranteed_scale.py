@@ -93,6 +93,21 @@ def main() -> None:
     sd = jax.device_put(jnp.asarray(scales))
     # unit-norm rows quantized per-item: |scale_i * dot| <= ~1 + quant err
     bench("2M x 64 int8", cd, queries(d), score_bound=1.05, scales=sd)
+    del c, ci, cd, sd
+
+    import sys
+
+    if "--8m" in sys.argv:
+        # the densest guaranteed corpus one v5e chip holds: 8M int8
+        n = 8_388_608
+        c = rng.normal(size=(n, d)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        absmax = np.abs(c).max(axis=1, keepdims=True)
+        ci = np.clip(np.round(c / absmax * 127), -127, 127).astype(np.int8)
+        scales = (absmax[:, 0] / 127.0).astype(np.float32)
+        cd = jax.device_put(jnp.asarray(ci))
+        sd = jax.device_put(jnp.asarray(scales))
+        bench("8M x 64 int8", cd, queries(d), score_bound=1.05, scales=sd)
 
 
 if __name__ == "__main__":

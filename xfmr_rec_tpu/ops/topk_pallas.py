@@ -664,20 +664,26 @@ def _packed_scan2_kernel(
     bias_in_dot=False,
     lane_shuffle=0,
     has_scales=False,
+    track_discards=True,
 ):
     if has_scales:
         q_ref, corpus_ref, scales_ref, *outs = refs
     else:
         q_ref, corpus_ref, *outs = refs
         scales_ref = None
-    key1_ref, key2_ref, dmax_ref = outs
+    if track_discards:
+        key1_ref, key2_ref, dmax_ref = outs
+    else:
+        key1_ref, key2_ref = outs
+        dmax_ref = None
     step = pl.program_id(1)
 
     @pl.when(step == 0)
     def _init():
         key1_ref[:] = jnp.zeros_like(key1_ref)
         key2_ref[:] = jnp.zeros_like(key2_ref)
-        dmax_ref[:] = jnp.zeros_like(dmax_ref)
+        if dmax_ref is not None:
+            dmax_ref[:] = jnp.zeros_like(dmax_ref)
 
     scores = _tile_scores(q_ref, corpus_ref, scales_ref)
     if lane_shuffle:
@@ -700,11 +706,15 @@ def _packed_scan2_kernel(
     new1 = jnp.maximum(best1, keys)
     contender = jnp.minimum(best1, keys)
     new2 = jnp.maximum(best2, contender)
-    discarded = jnp.minimum(best2, contender)
-    # full-width elementwise running discard-max: cheaper on the VPU than
-    # reducing each tile's discards to (bt, 1) inside the hot loop
-    # (measured -0.35 ms at B=2048 x 1M x 64); reduced once post-sweep
-    dmax_ref[:] = jnp.maximum(dmax_ref[:], discarded)
+    if dmax_ref is not None:
+        discarded = jnp.minimum(best2, contender)
+        # full-width elementwise running discard-max: cheaper on the VPU
+        # than reducing each tile's discards to (bt, 1) inside the hot
+        # loop (measured -0.35 ms at B=2048 x 1M x 64); reduced once
+        # post-sweep. track_discards=False (uncertified callers — the
+        # exclusion search) skips the min + max + buffer round-trip per
+        # element: ~25% of the contest's VPU work.
+        dmax_ref[:] = jnp.maximum(dmax_ref[:], discarded)
     key1_ref[:] = new1
     key2_ref[:] = new2
 
@@ -722,9 +732,13 @@ def packed_lane_scan(
     true_num_items: int | None = None,
     lane_shuffle: int = 0,
     scales: Array | None = None,
+    track_discards: bool = True,
     interpret: bool = False,
-) -> tuple[Array, Array]:
-    """One packed-key sweep -> (keys (B, 2*ct) int32, dmax (B,) int32).
+) -> tuple[Array, Array | None]:
+    """One packed-key sweep -> (keys (B, 2*ct) int32, dmax (B,) int32
+    — or None with track_discards=False, which skips the certificate
+    bookkeeping for uncertified callers: 2 VPU ops + one (bt, ct) i32
+    buffer round-trip per tile saved).
 
     `score_bound` must upper-bound |score| (for unit-norm embeddings, 1.0;
     generally max||q|| * max||c||, times max|scale| for int8 corpora).
@@ -817,16 +831,18 @@ def packed_lane_scan(
         bias_in_dot=bias_in_dot,
         lane_shuffle=lane_shuffle,
         has_scales=scales is not None,
+        track_discards=track_discards,
     )
     key_shape = jax.ShapeDtypeStruct((batch, corpus_tile), jnp.int32)
-    # VMEM budget: the f32 score tile + 3 i32 running buffers at
+    n_bufs = 3 if track_discards else 2
+    # VMEM budget: the f32 score tile + the i32 running buffers at
     # (bt, ct) + double-buffered corpus tiles + queries. The compiler's
     # default 16 MB scoped limit rejects the tuned (512, 2048) geometry
     # by ~1 MB (fresh-compile OOM observed on v5e), so grant what the
     # kernel actually needs, with slack for scheduling.
     item_bytes = corpus.dtype.itemsize
     vmem_needed = (
-        16 * batch_tile * corpus_tile  # score f32 + key1/key2/dmax i32
+        (4 + 4 * n_bufs) * batch_tile * corpus_tile  # score f32 + bufs
         + 2 * corpus_tile * dim * item_bytes  # double-buffered tiles
         + batch_tile * dim * queries.dtype.itemsize
         + (2 * corpus_tile * 4 if scales is not None else 0)
@@ -835,12 +851,12 @@ def packed_lane_scan(
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=max(vmem_needed, 16 * 1024 * 1024)
     )
-    key1, key2, dmax = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=block_in,
-        out_specs=[out_block, out_block, out_block],
-        out_shape=[key_shape, key_shape, key_shape],
+        out_specs=[out_block] * n_bufs,
+        out_shape=[key_shape] * n_bufs,
         cost_estimate=pl.CostEstimate(
             flops=2 * batch * num_items * dim,
             bytes_accessed=corpus.size * corpus.dtype.itemsize,
@@ -849,7 +865,10 @@ def packed_lane_scan(
         compiler_params=compiler_params,
         interpret=interpret,
     )(*operands)
-    return jnp.concatenate([key1, key2], axis=-1), jnp.max(dmax, axis=-1)
+    keys = jnp.concatenate(outs[:2], axis=-1)
+    if not track_discards:
+        return keys, None
+    return keys, jnp.max(outs[2], axis=-1)
 
 
 def merge_lane_pairs3(
@@ -1466,12 +1485,14 @@ def packed_certified_parts(
     lane_shuffle: int = 0,
     scales: Array | None = None,
     selector: str = "auto",
+    track_discards: bool = True,
     interpret: bool = False,
-) -> tuple[Array, Array, Array]:
+) -> tuple[Array, Array, Array | None]:
     """Packed scan + top-k: (top_keys (B,k) i32, positions (B,k) i32,
-    dmax (B,) i32). Keys from passes with the same score_bound are
-    directly comparable, so multi-pass merges work in key space exactly
-    like `certified_topk_parts`.
+    dmax (B,) i32 — None with track_discards=False, for uncertified
+    callers that skip the certificate bookkeeping). Keys from passes
+    with the same score_bound are directly comparable, so multi-pass
+    merges work in key space exactly like `certified_topk_parts`.
 
     `merge_levels` rounds of `merge_lane_pairs` halve the selection
     width each (top_k over (B, 2*ct >> levels)) at the cost of
@@ -1508,6 +1529,10 @@ def packed_certified_parts(
     if selector not in ("auto", "fused", "threshold", "topk"):
         msg = f"unknown {selector=}"
         raise ValueError(msg)
+    if not track_discards and selector == "fused":
+        # the fused epilogue always tracks discards; route to the
+        # two-kernel path where the scan can skip the bookkeeping
+        selector = "topk"
     capacity = _round_up(k, 128)
     if merge_levels and merge_keep == 3:
         pool_width = 3 * (ct >> 1)
@@ -1560,17 +1585,20 @@ def packed_certified_parts(
         true_num_items=true_num_items,
         lane_shuffle=lane_shuffle,
         scales=scales,
+        track_discards=track_discards,
         interpret=interpret,
     )
     key1, key2 = keys[:, :ct], keys[:, ct:]
     if merge_levels and merge_keep == 3:
         key1, key2, key3, disc = merge_lane_pairs3(key1, key2, 0)
-        dmax = jnp.maximum(dmax, disc)
+        if dmax is not None:
+            dmax = jnp.maximum(dmax, disc)
         pool = jnp.concatenate([key1, key2, key3], axis=-1)
     else:
         for level in range(merge_levels):
             key1, key2, disc = merge_lane_pairs(key1, key2, level)
-            dmax = jnp.maximum(dmax, disc)
+            if dmax is not None:
+                dmax = jnp.maximum(dmax, disc)
         pool = jnp.concatenate([key1, key2], axis=-1)
     use_threshold = selector == "threshold" or (
         selector == "auto" and pool.shape[1] >= 4 * capacity
@@ -1788,6 +1816,9 @@ def packed_topk_excluding(
         true_num_items=true_num_items,
         scales=scales,
         selector=selector,
+        # no certificate is returned on this path — skip the scan's
+        # discard-max bookkeeping (~25% of the contest's VPU work)
+        track_discards=False,
         interpret=interpret,
     )
     if exclude_positions is not None:
