@@ -52,15 +52,16 @@ def main() -> None:
     def drain(o):
         return float(jnp.sum(jnp.asarray(o[0], jnp.float32)[..., :1]))
 
-    for keep, sel in ((3, "threshold"), (3, "topk"), (2, "topk")):
+    for keep, sel, lv in ((2, "topk", 1), (2, "topk", 2)):
         fn = jax.jit(
-            lambda q, ex, c, keep=keep, sel=sel: packed_topk_excluding(
+            lambda q, ex, c, keep=keep, sel=sel, lv=lv: packed_topk_excluding(
                 q,
                 c,
                 K,
                 exclude_positions=ex,
                 score_bound=1.0,
                 merge_keep=keep,
+                merge_levels=lv,
                 selector=sel,
             )
         )
@@ -86,7 +87,7 @@ def main() -> None:
         drain(out)
         dt = (time.perf_counter() - t0) / ITERS
         print(
-            f"merge_keep={keep} selector={sel}: {dt * 1e3:.2f} ms ({B / dt:,.0f} qps)  "
+            f"merge_keep={keep} selector={sel} levels={lv}: {dt * 1e3:.2f} ms ({B / dt:,.0f} qps)  "
             f"recall@{K}={recall:.5f}  excl_violations={viol}/{B}",
             flush=True,
         )
