@@ -690,6 +690,24 @@ class TestPackedMergeAndBias:
                 batch_tile=8, corpus_tile=128, interpret=True,
             )
 
+    def test_track_discards_false_same_keys(self):
+        """The no-certificate scan (uncertified exclusion path) must
+        produce byte-identical slot keys — only the dmax bookkeeping is
+        skipped."""
+        from xfmr_rec_tpu.ops.topk_pallas import packed_lane_scan
+
+        q, c = self._normed(8, 256, 16, seed=48)
+        kwargs = dict(
+            score_bound=1.0, batch_tile=8, corpus_tile=32, interpret=True
+        )
+        keys_t, dmax = packed_lane_scan(q, c, **kwargs)
+        keys_n, none = packed_lane_scan(
+            q, c, track_discards=False, **kwargs
+        )
+        assert none is None
+        assert dmax is not None
+        np.testing.assert_array_equal(np.asarray(keys_t), np.asarray(keys_n))
+
     def test_padding_not_certified_on_tiny_corpus(self):
         """true_num_items < k: stamped padding keys must not certify."""
         from xfmr_rec_tpu.ops.topk_pallas import packed_certified_topk
