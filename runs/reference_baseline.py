@@ -177,6 +177,7 @@ def run_seed(seed: int, out_dir: pathlib.Path, max_steps: int | None) -> dict:
     val_every = max(1, int(steps_per_epoch * CONFIG["val_check_interval"]))
     best, bad_checks, global_step = -np.inf, 0, 0
     best_metrics: dict[str, float] = {}
+    best_state: dict | None = None
     stop = False
     t0 = time.time()
 
@@ -228,16 +229,32 @@ def run_seed(seed: int, out_dir: pathlib.Path, max_steps: int | None) -> dict:
                 improved = value > best + CONFIG["early_stopping_min_delta"]
                 if value > best:
                     best, best_metrics = value, val
+                    best_state = {
+                        k: v.detach().clone()
+                        for k, v in model.state_dict().items()
+                    }
                 bad_checks = 0 if improved else bad_checks + 1
                 if bad_checks >= CONFIG["early_stopping_patience"]:
                     stop = True
                 if stop:
                     break
 
+    # test-split evaluation at the BEST val checkpoint (mirrors the
+    # JAX side: orbax "best" restore -> cli test). The test partition
+    # is the LOW-holdout-count 80% of holdout users (val = top 20%),
+    # so its retrieval metrics run far below val on BOTH sides.
+    test_metrics: dict[str, float] = {}
+    if best_state is not None:
+        model.load_state_dict(best_state)
+        model.eval()
+        test_metrics = evaluate(model, torch, data, "test")
+        print(f"[seed {seed}] test@best: {test_metrics}", flush=True)
+
     summary = {
         "seed": seed,
         "best_val_ndcg20": best,
         "best_metrics": best_metrics,
+        "test_metrics": test_metrics,
         "steps": global_step,
         "wall_s": round(time.time() - t0, 1),
     }
