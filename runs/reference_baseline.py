@@ -176,6 +176,7 @@ def run_seed(seed: int, out_dir: pathlib.Path, max_steps: int | None) -> dict:
     steps_per_epoch = data.steps_per_epoch
     val_every = max(1, int(steps_per_epoch * CONFIG["val_check_interval"]))
     best, bad_checks, global_step = -np.inf, 0, 0
+    gated_best = -np.inf
     best_metrics: dict[str, float] = {}
     best_state: dict | None = None
     stop = False
@@ -226,9 +227,18 @@ def run_seed(seed: int, out_dir: pathlib.Path, max_steps: int | None) -> dict:
             if (batch_idx + 1) % val_every == 0 or stop:
                 val = validate()
                 value = val["val/RetrievalNormalizedDCG"]
-                improved = value > best + CONFIG["early_stopping_min_delta"]
+                # mirror trainer._early_stop_check exactly: the gated
+                # best (and the "best" checkpoint) move only on a
+                # min_delta improvement over the GATED best, so the
+                # test-split comparison selects checkpoints by the same
+                # rule on both sides; `best` (any max) is for reporting
+                improved = (
+                    value > gated_best + CONFIG["early_stopping_min_delta"]
+                )
                 if value > best:
                     best, best_metrics = value, val
+                if improved:
+                    gated_best = value
                     best_state = {
                         k: v.detach().clone()
                         for k, v in model.state_dict().items()

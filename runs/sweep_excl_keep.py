@@ -1,10 +1,13 @@
-"""Exclusion path: merge_keep=2 vs 3 — QPS and recall vs dense.
+"""Exclusion path config sweep: merge policy x selector x merge levels.
 
-The exclusion search returns no certificate, so the lane-pair merge
-policy only affects raw recall (a merged-away key can hide a true
-top-(k+E) candidate) and speed. This probe measures both at the bench
-exclusion geometry to pick the kernel's default for the uncertified
-path. Run on the real chip: python runs/sweep_excl_keep.py
+The exclusion search returns no certificate, so these knobs only trade
+raw recall (a merged-away key can hide a true top-(k+E) candidate)
+against speed. This sweep measures QPS + recall-vs-dense at the bench
+exclusion geometry; it picked the kernel's defaults (keep-2, lax.top_k
+selection, merge_levels=1 — see packed_topk_excluding's docstring and
+BENCH_NOTES for the recorded numbers: keep-3/threshold 158k, keep-3/
+topk 167k, keep-2/topk 197k @ recall 0.99515, keep-2/topk/levels-2
+236k @ 0.98902 rejected). Run: python runs/sweep_excl_keep.py
 """
 
 from __future__ import annotations
@@ -52,7 +55,12 @@ def main() -> None:
     def drain(o):
         return float(jnp.sum(jnp.asarray(o[0], jnp.float32)[..., :1]))
 
-    for keep, sel, lv in ((2, "topk", 1), (2, "topk", 2)):
+    for keep, sel, lv in (
+        (3, "threshold", 1),
+        (3, "topk", 1),
+        (2, "topk", 1),
+        (2, "topk", 2),
+    ):
         fn = jax.jit(
             lambda q, ex, c, keep=keep, sel=sel, lv=lv: packed_topk_excluding(
                 q,

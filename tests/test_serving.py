@@ -405,6 +405,28 @@ class TestTextSearch:
         )
         assert isinstance(out, list)
 
+    def test_unknown_endpoint_distinct_from_method_keyerror(self, service):
+        """dispatch signals unknown paths with UnknownEndpointError; a
+        KeyError raised INSIDE a service method must NOT be mistaken for
+        it (the HTTP handler maps the former to 404-unknown, the latter
+        to a logged 500)."""
+        from xfmr_rec_tpu.serving.service import (
+            UnknownEndpointError,
+            dispatch,
+        )
+
+        with pytest.raises(UnknownEndpointError):
+            dispatch(service, "no_such_endpoint", {})
+        # a method that raises a plain KeyError internally
+        original = service.model_name
+        service.model_name = lambda: {}["missing"]
+        try:
+            with pytest.raises(KeyError) as exc_info:
+                dispatch(service, "model_name", {})
+            assert not isinstance(exc_info.value, UnknownEndpointError)
+        finally:
+            service.model_name = original
+
 
 class TestMicroBatching:
     """Adaptive request coalescing (serving/batching.py): concurrent

@@ -299,12 +299,18 @@ _ENDPOINTS = {
 }
 
 
+class UnknownEndpointError(KeyError):
+    """Raised by dispatch for paths outside the endpoint table — distinct
+    from a KeyError escaping a service method (which is a 500, not a
+    404-unknown)."""
+
+
 def dispatch(service: RecService, endpoint: str, payload: dict) -> Any:
     """Route one JSON request body to a service method (shared by the HTTP
     handler and in-process tests)."""
     if endpoint not in _ENDPOINTS:
         msg = f"unknown endpoint: {endpoint}"
-        raise KeyError(msg)
+        raise UnknownEndpointError(msg)
     kwargs = {}
     for name, schema in _ENDPOINTS[endpoint]:
         if name in payload:
@@ -336,12 +342,14 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             payload = json.loads(body or b"{}")
             status, response = 200, dispatch(self.service, endpoint, payload)
-        except KeyError:
+        except UnknownEndpointError:
             status = 404
             response = {"error": f"unknown endpoint {endpoint}"}
         except NotFoundError as exc:
             status, response = 404, {"error": str(exc)}
         except Exception as exc:  # noqa: BLE001 — error boundary
+            # NB: a KeyError from INSIDE a service method lands here (500
+            # + logged traceback), not in the unknown-endpoint 404 above
             status = 500
             logger.exception("error handling %s", endpoint)
             response = {"error": f"{type(exc).__name__}: {exc}"}
@@ -350,7 +358,10 @@ class _Handler(BaseHTTPRequestHandler):
         # surprises in the exposition format). Record BEFORE replying:
         # this is a threaded server, so a client that already holds our
         # response can issue a GET /metrics that must see this request
-        # counted (reply-then-record loses that ordering).
+        # counted (reply-then-record loses that ordering). Tradeoff,
+        # deliberate: the duration excludes response serialization, and
+        # a reply whose socket write fails is still counted at its
+        # computed status — counter-visibility to the client wins.
         label = endpoint if endpoint in _ENDPOINTS else "_unknown"
         self.metrics.observe(label, status, time.perf_counter() - start)
         self._reply(status, response)

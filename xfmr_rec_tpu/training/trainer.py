@@ -563,8 +563,10 @@ class Trainer:
     def _ckpt_path(self, name: str) -> pathlib.Path:
         # a path-like name ("runs/<run>/ckpt/best", absolute paths)
         # resolves as given — the CLI's documented restore form; bare
-        # names ("best"/"last") live under this run's ckpt dir
-        if "/" in str(name) or pathlib.Path(name).exists():
+        # names ("best"/"last") ALWAYS live under this run's ckpt dir
+        # (never CWD-relative: save_checkpoint("best") must not be able
+        # to clobber an unrelated ./best entry)
+        if "/" in str(name):
             return pathlib.Path(name).absolute()
         base = self.trainer_config.ckpt_dir or (self.logger.log_dir / "ckpt")
         return pathlib.Path(base).absolute() / name
