@@ -30,8 +30,9 @@ TINY_MODEL = dict(
 )
 
 
-@pytest.fixture(scope="module")
-def artifact(tmp_path_factory):
+def build_artifact(tmp_path_factory):
+    """Train a 3-step tiny model and export its artifact (shared with
+    test_sharded_index.py's engine test)."""
     data_dir = tmp_path_factory.mktemp("servedata")
     generate_movielens(
         data_dir, num_users=30, num_movies=80, num_ratings=700, seed=2
@@ -58,6 +59,11 @@ def artifact(tmp_path_factory):
     path = tmp_path_factory.mktemp("artifact") / "model"
     trainer.save(path)
     return path
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    return build_artifact(tmp_path_factory)
 
 
 @pytest.fixture(scope="module")

@@ -2,5 +2,11 @@
 
 from xfmr_rec_tpu.index.ivf import IVFIndex
 from xfmr_rec_tpu.index.mips import RetrievalIndex, exact_topk
+from xfmr_rec_tpu.index.sharded import ShardedRetrievalIndex
 
-__all__ = ["IVFIndex", "RetrievalIndex", "exact_topk"]
+__all__ = [
+    "IVFIndex",
+    "RetrievalIndex",
+    "ShardedRetrievalIndex",
+    "exact_topk",
+]

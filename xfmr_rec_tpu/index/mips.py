@@ -174,7 +174,77 @@ class BM25Index:
         return [(int(r), float(scores[r])) for r in order if scores[r] > 0]
 
 
-class RetrievalIndex:
+class CorpusMetadata:
+    """Host-side id/metadata surface shared by every index kind.
+
+    Mirrors the reference LanceDbProcessor lookup surface
+    (data/lightning.py:145-151 get_id, :221 FTS). Subclasses set
+    `self.ids`, `self._id_to_pos`, `self.metadata`, `self.id_col`.
+    """
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def positions_of(
+        self, id_lists: list[list[int]], width: int | None = None
+    ) -> np.ndarray:
+        """Map per-row id lists to padded corpus positions (pad = N).
+
+        The pad width is rounded up to a power of two so the jitted
+        search sees a few stable exclusion shapes instead of recompiling
+        per request.
+        """
+        num_items = len(self.ids)
+        if width is None:
+            longest = max((len(x) for x in id_lists), default=1) or 1
+            width = 1 << (longest - 1).bit_length()
+            width = max(width, 8)
+        out = np.full((len(id_lists), width), num_items, dtype=np.int32)
+        for row, id_list in enumerate(id_lists):
+            for col, id_val in enumerate(id_list[:width]):
+                out[row, col] = self._id_to_pos.get(int(id_val), num_items)
+        return out
+
+    def search_text(
+        self, query: str, *, top_k: int = 10, text_col: str | None = None
+    ) -> list[dict]:
+        """Keyword (BM25) search over item metadata text.
+
+        Capability parity with the reference's full-text indexes
+        (data/lightning.py:221,298 create LanceDB FTS indexes on the
+        text columns — no reference code path queries them, but the
+        capability is part of its index surface). Host-side BM25 with a
+        lazily-built inverted index; corpus text fits host memory by
+        construction (it is the metadata store).
+
+        Returns the top matching metadata rows (with id and score).
+        """
+        if getattr(self, "_fts_col", None) != text_col or not hasattr(
+            self, "_fts"
+        ):
+            self._fts = BM25Index(self.metadata, text_col=text_col)
+            self._fts_col = text_col
+        out = []
+        for row, score in self._fts.search(query, top_k=top_k):
+            entry = dict(self.metadata[row])
+            entry[self.id_col] = int(self.ids[row])
+            entry["score"] = score
+            out.append(entry)
+        return out
+
+    def get_id(self, id_val: int | None) -> dict:
+        """Metadata row for one id ({} on miss) — reference get_id parity."""
+        if id_val is None:
+            return {}
+        pos = self._id_to_pos.get(int(id_val))
+        if pos is None:
+            return {}
+        row = dict(self.metadata[pos])
+        row[self.id_col] = int(self.ids[pos])
+        return row
+
+
+class RetrievalIndex(CorpusMetadata):
     """Host-facing index: corpus embeddings + item metadata + jitted search.
 
     Capability parity with the reference ItemProcessor index surface
@@ -344,32 +414,9 @@ class RetrievalIndex:
             )
         return self._scan_state
 
-    def __len__(self) -> int:
-        return len(self.ids)
-
     @property
     def dim(self) -> int:
         return self.corpus.shape[1]
-
-    def positions_of(
-        self, id_lists: list[list[int]], width: int | None = None
-    ) -> np.ndarray:
-        """Map per-row id lists to padded corpus positions (pad = N).
-
-        The pad width is rounded up to a power of two so the jitted
-        search sees a few stable exclusion shapes instead of recompiling
-        per request.
-        """
-        num_items = len(self.ids)
-        if width is None:
-            longest = max((len(x) for x in id_lists), default=1) or 1
-            width = 1 << (longest - 1).bit_length()
-            width = max(width, 8)
-        out = np.full((len(id_lists), width), num_items, dtype=np.int32)
-        for row, id_list in enumerate(id_lists):
-            for col, id_val in enumerate(id_list[:width]):
-                out[row, col] = self._id_to_pos.get(int(id_val), num_items)
-        return out
 
     def _ensure_dense_fn(self):
         """Jitted dense-exact fallback shared by the certified paths."""
@@ -871,44 +918,6 @@ class RetrievalIndex:
             )
         item_ids = np.asarray(self._ids_dev)[np.asarray(positions)]
         return np.asarray(scores), item_ids
-
-    def search_text(
-        self, query: str, *, top_k: int = 10, text_col: str | None = None
-    ) -> list[dict]:
-        """Keyword (BM25) search over item metadata text.
-
-        Capability parity with the reference's full-text indexes
-        (data/lightning.py:221,298 create LanceDB FTS indexes on the
-        text columns — no reference code path queries them, but the
-        capability is part of its index surface). Host-side BM25 with a
-        lazily-built inverted index; corpus text fits host memory by
-        construction (it is the metadata store).
-
-        Returns the top matching metadata rows (with id and score).
-        """
-        if getattr(self, "_fts_col", None) != text_col or not hasattr(
-            self, "_fts"
-        ):
-            self._fts = BM25Index(self.metadata, text_col=text_col)
-            self._fts_col = text_col
-        out = []
-        for row, score in self._fts.search(query, top_k=top_k):
-            entry = dict(self.metadata[row])
-            entry[self.id_col] = int(self.ids[row])
-            entry["score"] = score
-            out.append(entry)
-        return out
-
-    def get_id(self, id_val: int | None) -> dict:
-        """Metadata row for one id ({} on miss) — reference get_id parity."""
-        if id_val is None:
-            return {}
-        pos = self._id_to_pos.get(int(id_val))
-        if pos is None:
-            return {}
-        row = dict(self.metadata[pos])
-        row[self.id_col] = int(self.ids[pos])
-        return row
 
     # -- persistence ------------------------------------------------------
     def save(self, path: str | pathlib.Path) -> None:

@@ -65,6 +65,7 @@ def sharded_topk(
     mesh: Mesh,
     *,
     exclude_positions: Array | None = None,
+    true_num_items: int | None = None,
 ) -> tuple[Array, Array]:
     """Exact top-k over an item-sharded corpus.
 
@@ -74,6 +75,10 @@ def sharded_topk(
         k: static top-k.
         exclude_positions: (B, E) global corpus positions to mask
             (padded with >= N), replicated.
+        true_num_items: logical corpus size when trailing rows are
+            shard-balancing padding (N not divisible by the mesh axis);
+            pad rows are masked to -inf in-graph, so the result is exact
+            over the first `true_num_items` rows.
 
     Returns:
         (scores (B, k), positions (B, k)) — global positions, replicated.
@@ -81,6 +86,8 @@ def sharded_topk(
     num_model = mesh.shape[MODEL_AXIS]
     local_n = _validate_shard_geometry(corpus.shape[0], num_model, k)
     local_k = min(k, local_n)
+    if true_num_items is not None and true_num_items >= corpus.shape[0]:
+        true_num_items = None
 
     has_exclusions = exclude_positions is not None
     if not has_exclusions:
@@ -101,6 +108,8 @@ def sharded_topk(
         )
         positions = offset + jnp.arange(local_n, dtype=jnp.int32)[None, :]
         positions = jnp.broadcast_to(positions, scores.shape)
+        if true_num_items is not None:
+            scores = jnp.where(positions < true_num_items, scores, NEG_INF)
         if has_exclusions:
             hit = jnp.any(
                 positions[:, :, None] == excl[:, None, :], axis=-1
@@ -122,6 +131,7 @@ def sharded_certified_topk(
     *,
     batch_tile: int | None = None,
     corpus_tile: int | None = None,
+    true_num_items: int | None = None,
     interpret: bool | None = None,
 ) -> tuple[Array, Array, Array]:
     """Exact-certified top-k over an item-sharded corpus (Pallas per shard).
@@ -140,6 +150,14 @@ def sharded_certified_topk(
 
     Returns (scores (B, k), positions (B, k), exact (B,) bool),
     replicated.
+
+    `true_num_items`: logical corpus size when trailing rows are
+    shard-balancing zero padding. Pad candidates are masked out of the
+    merged pool, so certified results are exact over the real rows; a
+    pad row's score (exactly 0 for zero vectors) can still enter a
+    shard's discard-max, which only makes the certificate conservative
+    (rows may fail certification that would otherwise pass — never the
+    reverse) and only when the true k-th score is below 0.
     """
     from xfmr_rec_tpu.ops import topk_pallas as tk
 
@@ -151,6 +169,8 @@ def sharded_certified_topk(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     local_k = min(k, local_n)
+    if true_num_items is not None and true_num_items >= corpus.shape[0]:
+        true_num_items = None
 
     @functools.partial(
         jax.shard_map,
@@ -177,6 +197,10 @@ def sharded_certified_topk(
         local_scores, local_arg = jax.lax.top_k(vals, local_k)
         offset = jax.lax.axis_index(MODEL_AXIS) * local_n
         local_pos = offset + jnp.take_along_axis(pos, local_arg, axis=-1)
+        if true_num_items is not None:
+            local_scores = jnp.where(
+                local_pos < true_num_items, local_scores, NEG_INF
+            )
         top_scores, top_pos = _gather_merge(
             local_scores, local_pos, k, q.shape[0]
         )
@@ -199,6 +223,7 @@ def sharded_packed_certified_topk(
     batch_tile: int | None = None,
     corpus_tile: int | None = None,
     merge_levels: int = 0,
+    true_num_items: int | None = None,
     interpret: bool | None = None,
 ) -> tuple[Array, Array, Array]:
     """Packed-key certified top-k over an item-sharded corpus.
@@ -219,6 +244,12 @@ def sharded_packed_certified_topk(
     `score_bound` must upper-bound |score| globally (1.0 for unit-norm
     embeddings). Returns (scores (B, k) f32 decoded at the key quantum,
     positions (B, k) global int32, exact (B,) bool), replicated.
+
+    `true_num_items`: logical corpus size when trailing rows are
+    shard-balancing zero padding; pad candidates are masked to key 0
+    before the merge (exact results over the real rows), and a pad
+    row's discarded key can only make the certificate conservative
+    (see `sharded_certified_topk`).
     """
     from xfmr_rec_tpu.ops import topk_pallas as tk
 
@@ -231,6 +262,8 @@ def sharded_packed_certified_topk(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     local_k = min(k, local_n)
+    if true_num_items is not None and true_num_items >= corpus.shape[0]:
+        true_num_items = None
     padded_local = local_n + (-local_n % ct)
     num_tiles = padded_local // ct
     idx_bits = max((num_tiles - 1).bit_length(), 1)
@@ -263,6 +296,8 @@ def sharded_packed_certified_topk(
         )
         offset = jax.lax.axis_index(MODEL_AXIS) * local_n
         local_pos = offset + local_pos
+        if true_num_items is not None:
+            local_keys = jnp.where(local_pos < true_num_items, local_keys, 0)
         top_keys, top_pos = _gather_merge(local_keys, local_pos, k, batch)
         tau = top_keys[:, k - 1]
         global_dmax = jax.lax.pmax(dmax, MODEL_AXIS)
@@ -278,3 +313,137 @@ def sharded_packed_certified_topk(
         return scores, top_pos, exact
 
     return inner(queries, corpus)
+
+
+def sharded_packed_topk_excluding(
+    queries: Array,
+    corpus: Array,
+    k: int,
+    mesh: Mesh,
+    *,
+    exclude_positions: Array | None = None,
+    score_bound: float | Array = 1.0,
+    true_num_items: int | None = None,
+    batch_tile: int | None = None,
+    corpus_tile: int | None = None,
+    merge_levels: int = 1,
+    merge_keep: int = 2,
+    interpret: bool | None = None,
+) -> tuple[Array, Array]:
+    """Packed-key top-k with per-row exclusions over an item-sharded corpus.
+
+    The multi-chip serving hot path (exclusion search over ICI): each
+    device sweeps its local corpus shard with the packed-key Pallas scan
+    (no certificate bookkeeping — same contract as the single-chip
+    `packed_topk_excluding`), fetches its local top-(k+E) candidates in
+    key space, and the (m, B, k+E) candidate sets all-gather over the
+    model axis. Exclusions are masked AFTER the merge by global
+    position: within one shard at most E excluded items can outrank a
+    wanted candidate, so fetching k+E per shard guarantees the global
+    top-k survivors are all present in the merged pool (same slack
+    argument as the single-chip path, applied per shard).
+
+    Args mirror `sharded_packed_certified_topk`; `exclude_positions` is
+    (B, E) GLOBAL corpus positions (padded with >= N), replicated.
+    Returns (scores (B, k) f32 quantum-floor decodes, positions (B, k)
+    global int32), replicated; masked/exhausted entries score -inf.
+    """
+    from xfmr_rec_tpu.ops import topk_pallas as tk
+
+    num_model = mesh.shape[MODEL_AXIS]
+    local_n = _validate_shard_geometry(corpus.shape[0], num_model, k)
+    batch = queries.shape[0]
+    bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, batch)
+    ct = corpus_tile or tk.pick_corpus_tile(local_n, corpus.shape[1])
+    ct = min(ct, local_n)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if true_num_items is not None and true_num_items >= corpus.shape[0]:
+        true_num_items = None
+    slack = 0 if exclude_positions is None else exclude_positions.shape[1]
+    padded_local = local_n + (-local_n % ct)
+    num_tiles = padded_local // ct
+    idx_bits = max((num_tiles - 1).bit_length(), 1)
+    # clamp the merge so the per-shard pool still holds k+E candidates
+    # (same policy as the single-chip packed_topk_excluding)
+    fetch_target = min(k + slack, local_n)
+    if merge_keep == 3 and merge_levels:
+        merge_levels = 1 if 3 * (ct >> 1) >= fetch_target else 0
+    while merge_levels and 2 * (ct >> merge_levels) < fetch_target:
+        merge_levels -= 1
+    if merge_levels and merge_keep == 3:
+        pool = 3 * (ct >> 1)
+    else:
+        pool = 2 * (ct >> merge_levels)
+    if fetch_target > pool and padded_local > pool:
+        msg = (
+            f"exclusion width {slack} + {k=} exceeds the per-shard packed "
+            f"candidate pool ({pool}); raise corpus_tile or use "
+            "sharded_topk (dense)"
+        )
+        raise ValueError(msg)
+    fetch = min(fetch_target, pool)
+
+    has_exclusions = exclude_positions is not None
+    if not has_exclusions:
+        exclude_positions = jnp.zeros((batch, 1), dtype=jnp.int32)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(MODEL_AXIS, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def inner(q, corpus_local, excl):
+        pad = -local_n % ct
+        corpus_padded = (
+            jnp.pad(corpus_local, ((0, pad), (0, 0))) if pad else corpus_local
+        )
+        local_keys, local_pos, _ = tk.packed_certified_parts(
+            q,
+            corpus_padded,
+            fetch,
+            score_bound=score_bound,
+            batch_tile=bt,
+            corpus_tile=ct,
+            idx_bits=idx_bits,
+            merge_levels=merge_levels,
+            merge_keep=merge_keep,
+            true_num_items=local_n if pad else None,
+            track_discards=False,
+            interpret=interpret,
+        )
+        offset = jax.lax.axis_index(MODEL_AXIS) * local_n
+        local_pos = offset + local_pos
+        if true_num_items is not None:
+            local_keys = jnp.where(local_pos < true_num_items, local_keys, 0)
+        # full merged pool (B, m*fetch) — exclusions mask BEFORE the
+        # final top-k, so _gather_merge's early cut can't apply here
+        all_keys = jax.lax.all_gather(local_keys, MODEL_AXIS)
+        all_pos = jax.lax.all_gather(local_pos, MODEL_AXIS)
+        all_keys = all_keys.transpose(1, 0, 2).reshape(batch, -1)
+        all_pos = all_pos.transpose(1, 0, 2).reshape(batch, -1)
+        if has_exclusions:
+            hit = jnp.any(
+                all_pos[:, :, None] == excl[:, None, :], axis=-1
+            )
+            all_keys = jnp.where(hit, 0, all_keys)
+        top_keys, sel = jax.lax.top_k(all_keys, k)
+        top_pos = jnp.take_along_axis(all_pos, sel, axis=-1)
+        # masked/exhausted keys are 0; stamped padding keys can reach
+        # (1 << merge_levels) - 1 — both below any real key
+        real = top_keys > (1 << merge_levels) - 1
+        scores = jnp.where(
+            real,
+            tk.decode_scores(
+                top_keys,
+                idx_bits=idx_bits,
+                score_bound=score_bound,
+                reserve_bits=merge_levels,
+            ),
+            NEG_INF,
+        )
+        return scores, top_pos
+
+    return inner(queries, corpus, exclude_positions)

@@ -54,7 +54,11 @@ class RecommenderEngine:
     corpus at load and probes `nprobe` clusters per query — the
     reference's ANN serving mode (LanceDB IVF, service.py:117-131),
     useful when corpus size makes exhaustive per-request scoring
-    latency-bound. Metadata/get_id stay on the RetrievalIndex either
+    latency-bound; "sharded" loads the corpus sharded over the device
+    mesh's model axis (ShardedRetrievalIndex) — exact exhaustive search
+    whose catalog ceiling is the mesh's aggregate HBM instead of one
+    chip's (`model_parallel` sets the shard count, default = every
+    visible device). Metadata/get_id stay on the serving index either
     way.
     """
 
@@ -67,6 +71,7 @@ class RecommenderEngine:
         nprobe: int = 8,
         ivf_min_recall: float = 0.5,
         ivf_enforce_recall: bool = False,
+        model_parallel: int | None = None,
     ) -> None:
         from flax import serialization
 
@@ -104,10 +109,19 @@ class RecommenderEngine:
         # pinning params on device matters: deserialized numpy pytrees
         # would otherwise be re-uploaded on EVERY request (host->device
         # transfer per call instead of once at load)
-        self.index = RetrievalIndex.load(path / "index")
-        if index_kind not in ("exact", "ivf"):
+        if index_kind not in ("exact", "ivf", "sharded"):
             msg = f"unknown index_kind {index_kind!r}"
             raise ValueError(msg)
+        if index_kind == "sharded":
+            from xfmr_rec_tpu.index.sharded import ShardedRetrievalIndex
+
+            # one on-disk layout: the same artifact serves single-chip
+            # or sharded — only the device placement differs
+            self.index = ShardedRetrievalIndex.load(
+                path / "index", model_parallel=model_parallel
+            )
+        else:
+            self.index = RetrievalIndex.load(path / "index")
         self.index_kind = index_kind
         self.ivf = None
         if index_kind == "ivf":

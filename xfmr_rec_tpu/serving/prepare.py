@@ -123,8 +123,9 @@ if __name__ == "__main__":
     parser.add_argument("--serve", action="store_true")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument(
-        "--index_kind", choices=["exact", "ivf"], default="exact",
-        help="item search path: exhaustive exact or IVF probe (ANN)",
+        "--index_kind", choices=["exact", "ivf", "sharded"], default="exact",
+        help="item search path: exhaustive exact (one chip), IVF probe "
+        "(ANN), or exact sharded over the device mesh",
     )
     parser.add_argument("--nprobe", type=int, default=8)
     args = parser.parse_args()
