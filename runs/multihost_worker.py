@@ -160,9 +160,73 @@ def main() -> None:
         want = np.sort(dense[b])[-top_k:]
         got = np.sort(dense[b][ppos[b]])
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+    # --- exclusion search with 2-D sharding across processes (round 3):
+    # queries shard over the data axis (which also spans processes) and
+    # the corpus over model — the serving hot path's full distribution.
+    from xfmr_rec_tpu.parallel.retrieval import (
+        sharded_packed_topk_excluding,
+    )
+
+    excl = want_pos[:, :3].astype(np.int32)  # ban each row's true top-3
+    excl_g = jax.make_array_from_callback(
+        excl.shape, replicated, lambda idx: excl[idx]
+    )
+    escores, epos = sharded_packed_topk_excluding(
+        queries_g,
+        corpus_g,
+        top_k,
+        mesh,
+        exclude_positions=excl_g,
+        score_bound=1.0,
+        batch_tile=8,
+        corpus_tile=64,
+        shard_queries=True,
+    )
+    # outputs are data-axis sharded across BOTH processes: gather the
+    # global value (the caller-side contract for explicit shard_queries
+    # on a multi-process mesh)
+    from jax.experimental import multihost_utils
+
+    epos = np.asarray(multihost_utils.process_allgather(epos, tiled=True))
+    dense_excl = dense.copy()
+    np.put_along_axis(dense_excl, excl, -np.inf, axis=-1)
+    for b in range(len(queries)):
+        assert not set(excl[b]) & set(epos[b]), "excluded item returned"
+        want = np.sort(dense_excl[b])[-top_k:]
+        got = np.sort(dense_excl[b][epos[b]])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # --- guaranteed pipeline across processes (round 3): the in-graph
+    # conditional retry rounds (lax.cond wrapping all-gather + pmax)
+    # execute with a consensus predicate within each model group, so
+    # the collectives stay aligned across the process boundary.
+    from xfmr_rec_tpu.parallel.retrieval import (
+        sharded_packed_guaranteed_topk,
+    )
+
+    gscores, gpos, gexact = sharded_packed_guaranteed_topk(
+        queries_g,
+        corpus_g,
+        top_k,
+        mesh,
+        score_bound=1.0,
+        batch_tile=8,
+        corpus_tile=64,
+        retry_width=8,
+        shard_queries=False,
+    )
+    gexact = np.asarray(gexact)
+    gpos = np.asarray(gpos)
+    assert gexact.any(), "guaranteed pipeline certified nothing"
+    for b in np.flatnonzero(gexact):
+        want = np.sort(dense[b])[-top_k:]
+        got = np.sort(dense[b][gpos[b]])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
     print(
         f"OK-RETRIEVAL pid={pid} certified={int(pexact.sum())}/"
-        f"{len(pexact)}"
+        f"{len(pexact)} excl-rows={len(queries)} "
+        f"guaranteed={int(gexact.sum())}/{len(gexact)}"
     )
 
 

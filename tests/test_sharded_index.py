@@ -114,15 +114,42 @@ class TestShardedSearch:
         excl_pos = index.positions_of(exclude)
         assert_topk_equiv(item_ids, ids, queries, emb, 10, excl_pos)
 
-    def test_search_certified_exact(self, mesh):
+    @pytest.mark.parametrize("method", ["fused", "packed"])
+    def test_search_certified_exact(self, mesh, method):
         emb, ids, metadata = make_corpus(2048, seed=3)
         index = ShardedRetrievalIndex(
             emb, ids, metadata, mesh=mesh, dtype="float32"
         )
         queries = make_queries(8, seed=4)
-        scores, item_ids = index.search_certified(queries, top_k=20)
+        scores, item_ids = index.search_certified(
+            queries, top_k=20, method=method
+        )
         assert_topk_equiv(item_ids, ids, queries, emb, 20)
         assert index.last_certified_stats["batch"] == 8
+
+    def test_guaranteed_pipeline_primitive(self, mesh):
+        """sharded_packed_guaranteed_topk: certified rows match dense."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from xfmr_rec_tpu.parallel import sharded_packed_guaranteed_topk
+
+        emb, ids, _ = make_corpus(2048, seed=21)
+        corpus = jax.device_put(
+            emb, NamedSharding(mesh, P("model", None))
+        )
+        queries = make_queries(16, seed=22)
+        scores, positions, exact = sharded_packed_guaranteed_topk(
+            queries, corpus, 10, mesh, corpus_tile=64, retry_width=16
+        )
+        exact = np.asarray(exact)
+        positions = np.asarray(positions)
+        ref = dense_scores(queries, emb)
+        assert exact.any()
+        for b in np.flatnonzero(exact):
+            want = np.sort(ref[b])[::-1][:10]
+            got = np.sort(ref[b][positions[b]])[::-1]
+            np.testing.assert_allclose(got, want, atol=QUANTUM_ATOL)
 
     def test_metadata_surface(self, mesh):
         emb, ids, metadata = make_corpus(256)
@@ -190,6 +217,57 @@ class TestShardedSearch:
         assert loaded.dtype == "bfloat16"
         scores, item_ids = loaded.search(make_queries(2, seed=12), top_k=5)
         assert (item_ids >= 0).all()
+
+
+class TestTwoDMesh:
+    """2-D (data x model) mesh: queries shard over data, corpus over
+    model — results must match the 1-D-mesh and dense references."""
+
+    @pytest.fixture(scope="class", params=[(2, 4), (4, 2)])
+    def mesh2d(self, request):
+        data, model = request.param
+        return create_mesh(8, model_parallel=model)
+
+    def test_search_matches_dense(self, mesh2d):
+        emb, ids, metadata = make_corpus(512, seed=13)
+        index = ShardedRetrievalIndex(
+            emb, ids, metadata, mesh=mesh2d, dtype="float32"
+        )
+        queries = make_queries(16, seed=14)
+        _, item_ids = index.search(queries, top_k=10)
+        assert_topk_equiv(item_ids, ids, queries, emb, 10)
+
+    def test_odd_batch_pads_over_data_axis(self, mesh2d):
+        """B not divisible by the data axis: zero-query pad rows are
+        stripped and real rows still match."""
+        emb, ids, metadata = make_corpus(256, seed=15)
+        index = ShardedRetrievalIndex(
+            emb, ids, metadata, mesh=mesh2d, dtype="float32"
+        )
+        queries = make_queries(7, seed=16)
+        scores, item_ids = index.search(queries, top_k=5)
+        assert item_ids.shape == (7, 5)
+        assert_topk_equiv(item_ids, ids, queries, emb, 5)
+
+    def test_exclusions_and_certified(self, mesh2d):
+        emb, ids, metadata = make_corpus(512, seed=17)
+        index = ShardedRetrievalIndex(
+            emb, ids, metadata, mesh=mesh2d, dtype="float32"
+        )
+        queries = make_queries(8, seed=18)
+        _, top_ids = index.search(queries, top_k=2)
+        exclude = [list(map(int, row)) for row in top_ids]
+        _, item_ids = index.search(queries, top_k=6, exclude_ids=exclude)
+        for row, banned in enumerate(exclude):
+            assert not set(banned) & set(map(int, item_ids[row]))
+        excl_pos = index.positions_of(exclude)
+        assert_topk_equiv(item_ids, ids, queries, emb, 6, excl_pos)
+
+        for method in ("fused", "packed"):
+            _, c_ids = index.search_certified(
+                queries, top_k=10, method=method
+            )
+            assert_topk_equiv(c_ids, ids, queries, emb, 10)
 
 
 class TestShardedEngine:

@@ -30,9 +30,10 @@ from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from xfmr_rec_tpu.index.mips import CorpusMetadata
-from xfmr_rec_tpu.parallel.mesh import MODEL_AXIS, create_mesh
+from xfmr_rec_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, create_mesh
 from xfmr_rec_tpu.parallel.retrieval import (
     sharded_packed_certified_topk,
+    sharded_packed_guaranteed_topk,
     sharded_packed_topk_excluding,
     sharded_topk,
 )
@@ -49,6 +50,10 @@ class ShardedRetrievalIndex(CorpusMetadata):
         metadata: optional per-row dicts (drives get_id / search_text).
         mesh: the device mesh; defaults to a pure model-parallel mesh
             over every visible device (`create_mesh(model_parallel=m)`).
+            On a 2-D mesh (data d x model m) queries shard over the
+            data axis too: per-device work is (B/d, N/m) and search
+            throughput scales with the whole mesh, not just the
+            catalog axis (batches pad to a multiple of d).
         dtype: corpus storage dtype ("bfloat16" or "float32"); int8 is
             a single-chip capacity feature (RetrievalIndex) — sharding
             already multiplies capacity by the mesh size.
@@ -77,6 +82,10 @@ class ShardedRetrievalIndex(CorpusMetadata):
             )
         self.mesh = mesh
         self.num_shards = mesh.shape[MODEL_AXIS]
+        # 2-D mesh serving: queries shard over the data axis (per-device
+        # work (B/d, N/m)); the search methods pad batches to a multiple
+        # of d so the sharding always engages
+        self._data_size = mesh.shape.get(DATA_AXIS, 1)
         self.id_col = id_col
         self.ids = np.asarray(ids)
         self.metadata = metadata or [{} for _ in self.ids]
@@ -122,6 +131,17 @@ class ShardedRetrievalIndex(CorpusMetadata):
             ),
             static_argnames=("k",),
         )
+        self._guaranteed_fn = jax.jit(
+            lambda q, k, bound, c: sharded_packed_guaranteed_topk(
+                q,
+                c,
+                k,
+                mesh,
+                score_bound=bound,
+                true_num_items=true_n,
+            ),
+            static_argnames=("k",),
+        )
         self._dense_fn = jax.jit(
             lambda q, k, c: sharded_topk(
                 q, c, k, mesh, true_num_items=true_n
@@ -143,6 +163,30 @@ class ShardedRetrievalIndex(CorpusMetadata):
         item_ids = self.ids[safe].astype(np.int64)
         invalid = (positions >= self._true_n) | ~np.isfinite(scores)
         return np.where(invalid, -1, item_ids)
+
+    def _pad_batch(self, queries, exclude_positions=None):
+        """Pad the batch so every data shard tiles the Pallas scan
+        cleanly: a multiple of 8*d, and of 128*d once per-shard rows
+        exceed the default batch tile (zero-query pad rows certify
+        trivially and are stripped by the caller). Pow2-ish padding also
+        keeps the jit shape cache bounded."""
+        batch = queries.shape[0]
+        d = self._data_size
+        unit = 8 * d
+        padded = -(-max(batch, 8) // unit) * unit
+        if padded // d > 128 and (padded // d) % 128:
+            unit = 128 * d
+            padded = -(-padded // unit) * unit
+        pad = padded - batch
+        if pad:
+            queries = jnp.pad(queries, ((0, pad), (0, 0)))
+            if exclude_positions is not None:
+                exclude_positions = jnp.pad(
+                    exclude_positions,
+                    ((0, pad), (0, 0)),
+                    constant_values=self._true_n,
+                )
+        return queries, exclude_positions, batch
 
     def _score_bound(self, queries: Array) -> Array:
         # ON DEVICE (see RetrievalIndex.search): a host qnorm would sync
@@ -170,42 +214,59 @@ class ShardedRetrievalIndex(CorpusMetadata):
                 exclude_positions = jnp.full(
                     (queries.shape[0], 1), self._true_n, dtype=jnp.int32
                 )
+        exclude_positions = jnp.asarray(exclude_positions, dtype=jnp.int32)
+        queries, exclude_positions, batch = self._pad_batch(
+            queries, exclude_positions
+        )
         bound = self._score_bound(queries)
         scores, positions = self._search_fn(
             queries, exclude_positions, top_k, bound, self.corpus
         )
-        scores = np.asarray(scores)
-        positions = np.asarray(positions)
+        scores = np.asarray(scores)[:batch]
+        positions = np.asarray(positions)[:batch]
         return scores, self._ids_at(scores, positions)
 
     def search_certified(
-        self, queries: np.ndarray | Array, *, top_k: int
+        self,
+        queries: np.ndarray | Array,
+        *,
+        top_k: int,
+        method: str = "fused",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Guaranteed-exact batched search across the mesh (no exclusions).
 
-        Pass 1 is the sharded packed-key certified scan (per-shard
-        discard-max keys pmax-composed over ICI against the merged tau);
-        any uncertified rows re-run on the dense sharded path, which is
-        exact by construction. Exactness is at the key quantum, as on
-        one chip (`RetrievalIndex.search_certified(method="packed")`).
+        method="fused" (default, mirrors the single-chip flagship): the
+        whole escalation — keep-3 certified sweep per shard, key-space
+        ICI merge, in-graph lane-shuffled retries with the
+        min-over-passes pmax-composed certificate — runs as ONE jit
+        dispatch (`sharded_packed_guaranteed_topk`); only the rare
+        residual re-runs on the dense sharded path. method="packed" is
+        pass 1 only + dense fallback for every uncertified row.
+        Exactness is at the key quantum, as on one chip.
         """
+        if method not in ("fused", "packed"):
+            msg = f"unknown certified search method {method!r}"
+            raise ValueError(msg)
         queries = jnp.asarray(queries, dtype=self._query_dtype)
         if queries.ndim == 1:
             queries = queries[None, :]
+        queries, _, batch = self._pad_batch(queries)
         bound = self._score_bound(queries)
-        scores, positions, exact = self._certified_fn(
-            queries, top_k, bound, self.corpus
-        )
-        scores = np.array(scores)
-        positions = np.array(positions)
-        exact = np.asarray(exact)
+        fn = self._guaranteed_fn if method == "fused" else self._certified_fn
+        scores, positions, exact = fn(queries, top_k, bound, self.corpus)
+        scores = np.array(scores)[:batch]
+        positions = np.array(positions)[:batch]
+        exact = np.asarray(exact)[:batch]
         bad = np.nonzero(~exact)[0]
         self.last_certified_stats = {
-            "batch": int(queries.shape[0]),
+            "batch": batch,
             "pass1_bad": int(bad.size),
         }
         if bad.size:
-            width = max(8, 1 << (int(bad.size) - 1).bit_length())
+            width = max(
+                self._data_size, 1 << (int(bad.size) - 1).bit_length()
+            )
+            width += -width % self._data_size
             retry = np.zeros((width, self.dim), dtype=np.float32)
             retry[: bad.size] = np.asarray(queries, np.float32)[bad]
             s, p = self._dense_fn(

@@ -4,6 +4,8 @@ from xfmr_rec_tpu.parallel.mesh import create_mesh, shard_batch
 from xfmr_rec_tpu.parallel.retrieval import (
     sharded_certified_topk,
     sharded_packed_certified_topk,
+    sharded_packed_guaranteed_topk,
+    sharded_packed_topk_excluding,
     sharded_topk,
 )
 from xfmr_rec_tpu.parallel.train import make_sharded_train_step
@@ -14,5 +16,7 @@ __all__ = [
     "shard_batch",
     "sharded_certified_topk",
     "sharded_packed_certified_topk",
+    "sharded_packed_guaranteed_topk",
+    "sharded_packed_topk_excluding",
     "sharded_topk",
 ]

@@ -19,9 +19,37 @@ import jax.numpy as jnp
 from jax import Array
 from jax.sharding import Mesh, PartitionSpec as P
 
-from xfmr_rec_tpu.parallel.mesh import MODEL_AXIS
+from xfmr_rec_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 NEG_INF = float("-inf")
+
+
+def _query_spec(
+    mesh: Mesh, batch: int, shard_queries: bool | None
+) -> tuple[P, int]:
+    """Partition spec for the query batch: sharded over the data axis
+    when requested (2-D mesh serving — per-device work B/d x N/m),
+    replicated otherwise. `None` = auto: shard whenever the mesh has a
+    nontrivial data axis that divides the batch AND this is a
+    single-process run — data-sharded outputs of a multi-process mesh
+    span non-addressable devices, so hosts that `np.asarray` the result
+    would crash; multi-host callers opt in explicitly and gather."""
+    data_size = mesh.shape.get(DATA_AXIS, 1)
+    if shard_queries is None:
+        shard_queries = (
+            data_size > 1
+            and batch % data_size == 0
+            and jax.process_count() == 1
+        )
+    if not shard_queries:
+        return P(), 1
+    if batch % data_size:
+        msg = (
+            f"shard_queries: batch {batch} % mesh '{DATA_AXIS}' "
+            f"({data_size}) != 0 — pad the batch or replicate queries"
+        )
+        raise ValueError(msg)
+    return P(DATA_AXIS), data_size
 
 
 def _validate_shard_geometry(
@@ -66,28 +94,35 @@ def sharded_topk(
     *,
     exclude_positions: Array | None = None,
     true_num_items: int | None = None,
+    shard_queries: bool | None = None,
 ) -> tuple[Array, Array]:
     """Exact top-k over an item-sharded corpus.
 
     Args:
-        queries: (B, D), replicated.
+        queries: (B, D), replicated (or data-axis sharded, see below).
         corpus: (N, D), sharded P("model", None) (or host array to place).
         k: static top-k.
         exclude_positions: (B, E) global corpus positions to mask
-            (padded with >= N), replicated.
+            (padded with >= N), sharded like the queries.
         true_num_items: logical corpus size when trailing rows are
             shard-balancing padding (N not divisible by the mesh axis);
             pad rows are masked to -inf in-graph, so the result is exact
             over the first `true_num_items` rows.
+        shard_queries: shard the batch over the mesh's data axis too
+            (2-D mesh serving: per-device work (B/d, N/m), candidate
+            merges ride the model axis only). None = auto when the data
+            axis is nontrivial and divides B.
 
     Returns:
-        (scores (B, k), positions (B, k)) — global positions, replicated.
+        (scores (B, k), positions (B, k)) — global positions, replicated
+        (data-axis sharded when shard_queries).
     """
     num_model = mesh.shape[MODEL_AXIS]
     local_n = _validate_shard_geometry(corpus.shape[0], num_model, k)
     local_k = min(k, local_n)
     if true_num_items is not None and true_num_items >= corpus.shape[0]:
         true_num_items = None
+    qspec, _ = _query_spec(mesh, queries.shape[0], shard_queries)
 
     has_exclusions = exclude_positions is not None
     if not has_exclusions:
@@ -96,8 +131,8 @@ def sharded_topk(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(MODEL_AXIS, None), P()),
-        out_specs=(P(), P()),
+        in_specs=(qspec, P(MODEL_AXIS, None), qspec),
+        out_specs=(qspec, qspec),
         check_vma=False,
     )
     def inner(q, corpus_local, excl):
@@ -132,6 +167,7 @@ def sharded_certified_topk(
     batch_tile: int | None = None,
     corpus_tile: int | None = None,
     true_num_items: int | None = None,
+    shard_queries: bool | None = None,
     interpret: bool | None = None,
 ) -> tuple[Array, Array, Array]:
     """Exact-certified top-k over an item-sharded corpus (Pallas per shard).
@@ -164,7 +200,8 @@ def sharded_certified_topk(
     num_model = mesh.shape[MODEL_AXIS]
     local_n = _validate_shard_geometry(corpus.shape[0], num_model, k)
     batch = queries.shape[0]
-    bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, batch)
+    qspec, data_size = _query_spec(mesh, batch, shard_queries)
+    bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, batch // data_size)
     ct = corpus_tile or tk.pick_corpus_tile(local_n, corpus.shape[1])
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -175,8 +212,8 @@ def sharded_certified_topk(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(MODEL_AXIS, None)),
-        out_specs=(P(), P(), P()),
+        in_specs=(qspec, P(MODEL_AXIS, None)),
+        out_specs=(qspec, qspec, qspec),
         check_vma=False,
     )
     def inner(q, corpus_local):
@@ -224,6 +261,7 @@ def sharded_packed_certified_topk(
     corpus_tile: int | None = None,
     merge_levels: int = 0,
     true_num_items: int | None = None,
+    shard_queries: bool | None = None,
     interpret: bool | None = None,
 ) -> tuple[Array, Array, Array]:
     """Packed-key certified top-k over an item-sharded corpus.
@@ -256,7 +294,8 @@ def sharded_packed_certified_topk(
     num_model = mesh.shape[MODEL_AXIS]
     local_n = _validate_shard_geometry(corpus.shape[0], num_model, k)
     batch = queries.shape[0]
-    bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, batch)
+    qspec, data_size = _query_spec(mesh, batch, shard_queries)
+    bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, batch // data_size)
     ct = corpus_tile or tk.pick_corpus_tile(local_n, corpus.shape[1])
     ct = min(ct, local_n)
     if interpret is None:
@@ -273,8 +312,8 @@ def sharded_packed_certified_topk(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(MODEL_AXIS, None)),
-        out_specs=(P(), P(), P()),
+        in_specs=(qspec, P(MODEL_AXIS, None)),
+        out_specs=(qspec, qspec, qspec),
         check_vma=False,
     )
     def inner(q, corpus_local):
@@ -298,7 +337,9 @@ def sharded_packed_certified_topk(
         local_pos = offset + local_pos
         if true_num_items is not None:
             local_keys = jnp.where(local_pos < true_num_items, local_keys, 0)
-        top_keys, top_pos = _gather_merge(local_keys, local_pos, k, batch)
+        top_keys, top_pos = _gather_merge(
+            local_keys, local_pos, k, q.shape[0]
+        )
         tau = top_keys[:, k - 1]
         global_dmax = jax.lax.pmax(dmax, MODEL_AXIS)
         exact = jnp.logical_and(
@@ -311,6 +352,205 @@ def sharded_packed_certified_topk(
             reserve_bits=merge_levels,
         )
         return scores, top_pos, exact
+
+    return inner(queries, corpus)
+
+
+def sharded_packed_guaranteed_topk(
+    queries: Array,
+    corpus: Array,
+    k: int,
+    mesh: Mesh,
+    *,
+    score_bound: float | Array = 1.0,
+    true_num_items: int | None = None,
+    batch_tile: int | None = None,
+    corpus_tile: int | None = None,
+    merge_levels: int = 1,
+    merge_keep: int = 3,
+    retry_width: int | list[int] | tuple[int, ...] | None = None,
+    retries: int = 2,
+    shard_queries: bool | None = None,
+    interpret: bool | None = None,
+) -> tuple[Array, Array, Array]:
+    """Guaranteed-exact top-k over an item-sharded corpus as ONE dispatch.
+
+    The multi-chip composition of `packed_guaranteed_topk`
+    (ops/topk_pallas.py — the benched single-chip guaranteed pipeline):
+    pass 1 sweeps every shard with the keep-3 packed scan and merges
+    candidates in key space over ICI; rows whose COMPOSED certificate
+    (pmax of per-shard discard-max keys vs the merged tau) fails are
+    gathered in-graph and re-swept with a shuffled lane mapping on
+    every shard, pools merge position-deduped, and the certificate
+    min-composes across passes: an element above the final tau must
+    have been evicted in EVERY pass on SOME shard, so
+    min_over_passes(pmax_over_shards(dmax_p)) <= tau certifies the
+    union's top-k. All retry rounds are `lax.cond`-skipped on device
+    once every row certifies — no host round-trip anywhere.
+
+    Returns (scores (B, k) quantum-floor decodes, positions (B, k)
+    global int32, exact (B,) bool). Callers needing the hard guarantee
+    re-run `~exact` rows on `sharded_topk` (dense, exact by
+    construction); the expected residual matches the single-chip
+    pipeline's (~(1 - 0.96)^(1+retries) per row with keep-3).
+    """
+    from xfmr_rec_tpu.ops import topk_pallas as tk
+
+    num_model = mesh.shape[MODEL_AXIS]
+    local_n = _validate_shard_geometry(corpus.shape[0], num_model, k)
+    batch = queries.shape[0]
+    qspec, data_size = _query_spec(mesh, batch, shard_queries)
+    local_batch = batch // data_size
+    bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, local_batch)
+    ct = corpus_tile or tk.pick_corpus_tile(local_n, corpus.shape[1])
+    ct = min(ct, local_n)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    local_k = min(k, local_n)
+    if true_num_items is not None and true_num_items >= corpus.shape[0]:
+        true_num_items = None
+    padded_local = local_n + (-local_n % ct)
+    num_tiles = padded_local // ct
+    idx_bits = max((num_tiles - 1).bit_length(), 1)
+    if merge_keep == 3 and merge_levels:
+        merge_levels = 1 if 3 * (ct >> 1) >= local_k else 0
+    while merge_levels and 2 * (ct >> merge_levels) < local_k:
+        merge_levels -= 1
+    min_real = (1 << merge_levels) - 1
+    # per-round retry widths, sized to the measured failure decay like
+    # the single-chip pipeline (keep-3 ~3.6% pass-1 failures -> b/16
+    # then b/64; keep-2 ~13.2% -> b/4 then b/16); relative to the
+    # PER-DEVICE batch when queries shard over the data axis
+    if retry_width is None:
+        if merge_levels and merge_keep == 2:
+            first, later = local_batch // 4, local_batch // 16
+        else:
+            first, later = local_batch // 16, local_batch // 64
+        widths = [max(64, first)] + [max(64, later)] * max(retries - 1, 0)
+    elif isinstance(retry_width, (list, tuple)):
+        widths = [int(w) for w in retry_width]
+        if not widths:
+            msg = "retry_width sequence must be non-empty"
+            raise ValueError(msg)
+        if len(widths) < retries:
+            widths += [widths[-1]] * (retries - len(widths))
+    else:
+        widths = [int(retry_width)] * retries
+    # retry sweeps tile at min(bt, width): round each width to a clean
+    # tiling (multiple of 8 below bt, multiple of bt above)
+    adjusted = []
+    for w in widths[:retries]:
+        w = min(w + (-w % 8), local_batch)
+        if w > bt:
+            w = min(w + (-w % bt), local_batch)
+        adjusted.append(w or local_batch)
+    widths = adjusted
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(qspec, P(MODEL_AXIS, None)),
+        out_specs=(qspec, qspec, qspec),
+        check_vma=False,
+    )
+    def inner(q, corpus_local):
+        b = q.shape[0]
+        pad = -local_n % ct
+        corpus_padded = (
+            jnp.pad(corpus_local, ((0, pad), (0, 0))) if pad else corpus_local
+        )
+        offset = jax.lax.axis_index(MODEL_AXIS) * local_n
+
+        def local_sweep(qrows, shuffle, tile):
+            keys, pos, dmax = tk.packed_certified_parts(
+                qrows,
+                corpus_padded,
+                local_k,
+                score_bound=score_bound,
+                batch_tile=tile,
+                corpus_tile=ct,
+                idx_bits=idx_bits,
+                merge_levels=merge_levels,
+                merge_keep=merge_keep,
+                true_num_items=local_n if pad else None,
+                lane_shuffle=shuffle,
+                interpret=interpret,
+            )
+            pos = offset + pos
+            if true_num_items is not None:
+                keys = jnp.where(pos < true_num_items, keys, 0)
+            return keys, pos, dmax
+
+        def gather_pool(keys, pos):
+            """(rows, local_k) per shard -> (rows, m*local_k) global."""
+            ak = jax.lax.all_gather(keys, MODEL_AXIS)
+            ap = jax.lax.all_gather(pos, MODEL_AXIS)
+            rows = keys.shape[0]
+            return (
+                ak.transpose(1, 0, 2).reshape(rows, -1),
+                ap.transpose(1, 0, 2).reshape(rows, -1),
+            )
+
+        lk, lp, ld = local_sweep(q, 0, bt)
+        pool_k, pool_p = gather_pool(lk, lp)
+        keys, sel = jax.lax.top_k(pool_k, k)
+        positions = jnp.take_along_axis(pool_p, sel, axis=-1)
+        gdmax = jax.lax.pmax(ld, MODEL_AXIS)
+        tau = keys[:, k - 1]
+        exact = (gdmax <= tau) & (tau > min_real)
+
+        def retry_round(state, shuffle, width):
+            keys, positions, gdmax, exact = state
+            bad_idx = jnp.nonzero(~exact, size=width, fill_value=0)[0]
+            need = ~exact[bad_idx]
+            lk2, lp2, ld2 = local_sweep(
+                q[bad_idx], shuffle, min(bt, width)
+            )
+            new_k, new_p = gather_pool(lk2, lp2)
+            gd2 = jax.lax.pmax(ld2, MODEL_AXIS)
+            pool_keys = jnp.concatenate([keys[bad_idx], new_k], axis=-1)
+            pool_pos = jnp.concatenate([positions[bad_idx], new_p], axis=-1)
+            pool_keys = tk._dedupe_pool_keys(pool_keys, pool_pos)
+            merged_keys, msel = jax.lax.top_k(pool_keys, k)
+            merged_pos = jnp.take_along_axis(pool_pos, msel, axis=-1)
+            merged_dmax = jnp.minimum(gdmax[bad_idx], gd2)
+            merged_tau = merged_keys[:, k - 1]
+            merged_exact = (merged_dmax <= merged_tau) & (
+                merged_tau > min_real
+            )
+            keys = keys.at[bad_idx].set(
+                jnp.where(need[:, None], merged_keys, keys[bad_idx])
+            )
+            positions = positions.at[bad_idx].set(
+                jnp.where(need[:, None], merged_pos, positions[bad_idx])
+            )
+            gdmax = gdmax.at[bad_idx].set(
+                jnp.where(need, merged_dmax, gdmax[bad_idx])
+            )
+            exact = exact.at[bad_idx].set(
+                jnp.where(need, merged_exact, exact[bad_idx])
+            )
+            return keys, positions, gdmax, exact
+
+        state = (keys, positions, gdmax, exact)
+        for attempt in range(retries):
+            shuffle = 2 * attempt + 1
+            state = jax.lax.cond(
+                jnp.any(~state[3]),
+                functools.partial(
+                    retry_round, shuffle=shuffle, width=widths[attempt]
+                ),
+                lambda s: s,
+                state,
+            )
+        keys, positions, gdmax, exact = state
+        scores = tk.decode_scores(
+            keys,
+            idx_bits=idx_bits,
+            score_bound=score_bound,
+            reserve_bits=merge_levels,
+        )
+        return scores, positions, exact
 
     return inner(queries, corpus)
 
@@ -328,6 +568,8 @@ def sharded_packed_topk_excluding(
     corpus_tile: int | None = None,
     merge_levels: int = 1,
     merge_keep: int = 2,
+    selector: str = "topk",
+    shard_queries: bool | None = None,
     interpret: bool | None = None,
 ) -> tuple[Array, Array]:
     """Packed-key top-k with per-row exclusions over an item-sharded corpus.
@@ -353,7 +595,8 @@ def sharded_packed_topk_excluding(
     num_model = mesh.shape[MODEL_AXIS]
     local_n = _validate_shard_geometry(corpus.shape[0], num_model, k)
     batch = queries.shape[0]
-    bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, batch)
+    qspec, data_size = _query_spec(mesh, batch, shard_queries)
+    bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, batch // data_size)
     ct = corpus_tile or tk.pick_corpus_tile(local_n, corpus.shape[1])
     ct = min(ct, local_n)
     if interpret is None:
@@ -391,8 +634,8 @@ def sharded_packed_topk_excluding(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(MODEL_AXIS, None), P()),
-        out_specs=(P(), P()),
+        in_specs=(qspec, P(MODEL_AXIS, None), qspec),
+        out_specs=(qspec, qspec),
         check_vma=False,
     )
     def inner(q, corpus_local, excl):
@@ -410,6 +653,10 @@ def sharded_packed_topk_excluding(
             idx_bits=idx_bits,
             merge_levels=merge_levels,
             merge_keep=merge_keep,
+            # lax.top_k selection by default — measured best for the
+            # no-certificate exclusion contract (BENCH_NOTES exclusion
+            # table), same default as packed_topk_excluding
+            selector=selector,
             true_num_items=local_n if pad else None,
             track_discards=False,
             interpret=interpret,
@@ -422,8 +669,8 @@ def sharded_packed_topk_excluding(
         # final top-k, so _gather_merge's early cut can't apply here
         all_keys = jax.lax.all_gather(local_keys, MODEL_AXIS)
         all_pos = jax.lax.all_gather(local_pos, MODEL_AXIS)
-        all_keys = all_keys.transpose(1, 0, 2).reshape(batch, -1)
-        all_pos = all_pos.transpose(1, 0, 2).reshape(batch, -1)
+        all_keys = all_keys.transpose(1, 0, 2).reshape(q.shape[0], -1)
+        all_pos = all_pos.transpose(1, 0, 2).reshape(q.shape[0], -1)
         if has_exclusions:
             hit = jnp.any(
                 all_pos[:, :, None] == excl[:, None, :], axis=-1
