@@ -210,13 +210,35 @@ class TestShardedSearch:
         _, item_ids = index.search(queries, top_k=16)
         assert_topk_equiv(item_ids, ids, queries, emb, 16)
 
-    def test_int8_artifact_loads_as_bf16(self, mesh, tmp_path):
-        emb, ids, metadata = make_corpus(256, seed=11)
+    def test_int8_sharded_corpus(self, mesh, tmp_path):
+        """int8 quantization composes with sharding: search is exact
+        over the quantized corpus (same contract as the single-chip
+        int8 index), artifacts round-trip, and the dequantized scores
+        track the f32 reference within quantization error."""
+        emb, ids, metadata = make_corpus(515, seed=11)  # unbalanced too
         RetrievalIndex(emb, ids, metadata, dtype="int8").save(tmp_path / "q")
         loaded = ShardedRetrievalIndex.load(tmp_path / "q", mesh=mesh)
-        assert loaded.dtype == "bfloat16"
-        scores, item_ids = loaded.search(make_queries(2, seed=12), top_k=5)
+        assert loaded.dtype == "int8"
+        assert loaded.scales is not None
+        queries = make_queries(8, seed=12)
+        scores, item_ids = loaded.search(queries, top_k=10)
         assert (item_ids >= 0).all()
+        # dequantization error for unit-norm rows is ~sqrt(D)/254
+        ref = dense_scores(queries, emb)
+        id_to_pos = {int(i): p for p, i in enumerate(ids)}
+        for row in range(8):
+            got = [id_to_pos[int(i)] for i in item_ids[row]]
+            got_scores = np.sort(ref[row][got])[::-1]
+            want = np.sort(ref[row])[::-1][:10]
+            np.testing.assert_allclose(got_scores, want, atol=0.05)
+        # certified path rides the dequantizing kernel too
+        _, c_ids = loaded.search_certified(queries, top_k=10)
+        assert (c_ids >= 0).all()
+        # round-trip: save dequantizes, re-load re-quantizes identically
+        loaded.save(tmp_path / "q2")
+        again = ShardedRetrievalIndex.load(tmp_path / "q2", mesh=mesh)
+        _, ids2 = again.search(queries, top_k=10)
+        assert np.array_equal(ids2, item_ids)
 
 
 class TestTwoDMesh:

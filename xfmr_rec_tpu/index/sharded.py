@@ -54,9 +54,10 @@ class ShardedRetrievalIndex(CorpusMetadata):
             data axis too: per-device work is (B/d, N/m) and search
             throughput scales with the whole mesh, not just the
             catalog axis (batches pad to a multiple of d).
-        dtype: corpus storage dtype ("bfloat16" or "float32"); int8 is
-            a single-chip capacity feature (RetrievalIndex) — sharding
-            already multiplies capacity by the mesh size.
+        dtype: corpus storage dtype. "int8" composes per-item symmetric
+            quantization (same scheme as the single-chip index: search
+            is exact over the quantized corpus, certificates hold) with
+            item sharding — 2x items per chip TIMES the mesh size.
     """
 
     def __init__(
@@ -73,7 +74,7 @@ class ShardedRetrievalIndex(CorpusMetadata):
         if embeddings.shape[0] != len(ids):
             msg = "embeddings and ids must align"
             raise ValueError(msg)
-        if dtype not in ("bfloat16", "float32"):
+        if dtype not in ("bfloat16", "float32", "int8"):
             msg = f"unsupported sharded corpus dtype {dtype!r}"
             raise ValueError(msg)
         if mesh is None:
@@ -94,9 +95,6 @@ class ShardedRetrievalIndex(CorpusMetadata):
 
         emb = np.asarray(embeddings, dtype=np.float32)
         self._true_n = emb.shape[0]
-        self._corpus_maxnorm = float(
-            np.linalg.norm(emb, axis=1).max(initial=0.0)
-        )
         # shard-balancing zero rows: the shard_map primitives require
         # N % m == 0; pad rows are masked in-graph (true_num_items)
         pad = -self._true_n % self.num_shards
@@ -104,12 +102,35 @@ class ShardedRetrievalIndex(CorpusMetadata):
             emb = np.pad(emb, ((0, pad), (0, 0)))
         self._padded_n = emb.shape[0]
         sharding = NamedSharding(mesh, P(MODEL_AXIS, None))
-        self.corpus = jax.device_put(emb.astype(dtype), sharding)
-        self._query_dtype = self.corpus.dtype
+        scale_sharding = NamedSharding(mesh, P(None, MODEL_AXIS))
+        if dtype == "int8":
+            # per-item symmetric quantization (mirrors RetrievalIndex):
+            # c_i ~= scale_i * q_i; the Pallas scan dequantizes tiles in
+            # VMEM, so exactness/certificates hold over the quantized
+            # scores
+            scale = np.abs(emb).max(axis=1) / 127.0
+            scale = np.maximum(scale, 1e-12)
+            quant = np.clip(
+                np.round(emb / scale[:, None]), -127, 127
+            ).astype(np.int8)
+            self.corpus = jax.device_put(quant, sharding)
+            self.scales = jax.device_put(
+                scale.reshape(1, -1).astype(np.float32), scale_sharding
+            )
+            self._query_dtype = jnp.bfloat16
+            norms = np.linalg.norm(quant.astype(np.float32), axis=1) * scale
+            self._corpus_maxnorm = float(norms.max(initial=0.0))
+        else:
+            self.corpus = jax.device_put(emb.astype(dtype), sharding)
+            self.scales = None
+            self._query_dtype = self.corpus.dtype
+            self._corpus_maxnorm = float(
+                np.linalg.norm(emb, axis=1).max(initial=0.0)
+            )
         true_n = None if pad == 0 else self._true_n
 
         self._search_fn = jax.jit(
-            lambda q, excl, k, bound, c: sharded_packed_topk_excluding(
+            lambda q, excl, k, bound, c, s: sharded_packed_topk_excluding(
                 q,
                 c,
                 k,
@@ -117,34 +138,37 @@ class ShardedRetrievalIndex(CorpusMetadata):
                 exclude_positions=excl,
                 score_bound=bound,
                 true_num_items=true_n,
+                scales=s,
             ),
             static_argnames=("k",),
         )
         self._certified_fn = jax.jit(
-            lambda q, k, bound, c: sharded_packed_certified_topk(
+            lambda q, k, bound, c, s: sharded_packed_certified_topk(
                 q,
                 c,
                 k,
                 mesh,
                 score_bound=bound,
                 true_num_items=true_n,
+                scales=s,
             ),
             static_argnames=("k",),
         )
         self._guaranteed_fn = jax.jit(
-            lambda q, k, bound, c: sharded_packed_guaranteed_topk(
+            lambda q, k, bound, c, s: sharded_packed_guaranteed_topk(
                 q,
                 c,
                 k,
                 mesh,
                 score_bound=bound,
                 true_num_items=true_n,
+                scales=s,
             ),
             static_argnames=("k",),
         )
         self._dense_fn = jax.jit(
-            lambda q, k, c: sharded_topk(
-                q, c, k, mesh, true_num_items=true_n
+            lambda q, k, c, s: sharded_topk(
+                q, c, k, mesh, true_num_items=true_n, scales=s
             ),
             static_argnames=("k",),
         )
@@ -220,7 +244,7 @@ class ShardedRetrievalIndex(CorpusMetadata):
         )
         bound = self._score_bound(queries)
         scores, positions = self._search_fn(
-            queries, exclude_positions, top_k, bound, self.corpus
+            queries, exclude_positions, top_k, bound, self.corpus, self.scales
         )
         scores = np.asarray(scores)[:batch]
         positions = np.asarray(positions)[:batch]
@@ -253,7 +277,9 @@ class ShardedRetrievalIndex(CorpusMetadata):
         queries, _, batch = self._pad_batch(queries)
         bound = self._score_bound(queries)
         fn = self._guaranteed_fn if method == "fused" else self._certified_fn
-        scores, positions, exact = fn(queries, top_k, bound, self.corpus)
+        scores, positions, exact = fn(
+            queries, top_k, bound, self.corpus, self.scales
+        )
         scores = np.array(scores)[:batch]
         positions = np.array(positions)[:batch]
         exact = np.asarray(exact)[:batch]
@@ -273,6 +299,7 @@ class ShardedRetrievalIndex(CorpusMetadata):
                 jnp.asarray(retry, dtype=self._query_dtype),
                 top_k,
                 self.corpus,
+                self.scales,
             )
             scores[bad] = np.asarray(s)[: bad.size]
             positions[bad] = np.asarray(p)[: bad.size]
@@ -285,6 +312,12 @@ class ShardedRetrievalIndex(CorpusMetadata):
         embeddings = np.asarray(
             self.corpus[: self._true_n], dtype=np.float32
         )
+        if self.scales is not None:
+            # dequantize: re-quantizing these exact values reproduces
+            # the same int8 corpus (round is idempotent at grid points)
+            embeddings = (
+                embeddings * np.asarray(self.scales)[0][: self._true_n, None]
+            )
         np.savez(path / "corpus.npz", embeddings=embeddings, ids=self.ids)
         meta = {
             "id_col": self.id_col,
@@ -312,8 +345,8 @@ class ShardedRetrievalIndex(CorpusMetadata):
         arrays = np.load(path / "corpus.npz", allow_pickle=False)
         meta = json.loads((path / "index.json").read_text())
         dtype = meta.get("dtype", "bfloat16")
-        if dtype not in ("bfloat16", "float32"):
-            dtype = "bfloat16"  # int8 artifacts re-expand when sharded
+        if dtype not in ("bfloat16", "float32", "int8"):
+            dtype = "bfloat16"
         return cls(
             arrays["embeddings"],
             arrays["ids"],

@@ -94,6 +94,7 @@ def sharded_topk(
     *,
     exclude_positions: Array | None = None,
     true_num_items: int | None = None,
+    scales: Array | None = None,
     shard_queries: bool | None = None,
 ) -> tuple[Array, Array]:
     """Exact top-k over an item-sharded corpus.
@@ -108,6 +109,8 @@ def sharded_topk(
             shard-balancing padding (N not divisible by the mesh axis);
             pad rows are masked to -inf in-graph, so the result is exact
             over the first `true_num_items` rows.
+        scales: (1, N) per-item dequantization scales for an int8
+            corpus (sharded along items like the corpus).
         shard_queries: shard the batch over the mesh's data axis too
             (2-D mesh serving: per-device work (B/d, N/m), candidate
             merges ride the model axis only). None = auto when the data
@@ -123,6 +126,9 @@ def sharded_topk(
     if true_num_items is not None and true_num_items >= corpus.shape[0]:
         true_num_items = None
     qspec, _ = _query_spec(mesh, queries.shape[0], shard_queries)
+    has_scales = scales is not None
+    if not has_scales:
+        scales = jnp.zeros((1, num_model), dtype=jnp.float32)
 
     has_exclusions = exclude_positions is not None
     if not has_exclusions:
@@ -131,16 +137,25 @@ def sharded_topk(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(qspec, P(MODEL_AXIS, None), qspec),
+        in_specs=(qspec, P(MODEL_AXIS, None), qspec, P(None, MODEL_AXIS)),
         out_specs=(qspec, qspec),
         check_vma=False,
     )
-    def inner(q, corpus_local, excl):
+    def inner(q, corpus_local, excl, scales_local):
         batch = q.shape[0]
         offset = jax.lax.axis_index(MODEL_AXIS) * local_n
-        scores = jnp.dot(
-            q, corpus_local.T, preferred_element_type=jnp.float32
-        )
+        if has_scales:
+            # int8 shard: dequantizing dense scoring (mirrors the
+            # single-chip dense_exact int8 branch, mips.py)
+            scores = jnp.dot(
+                q,
+                corpus_local.T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * scales_local[0][None, :]
+        else:
+            scores = jnp.dot(
+                q, corpus_local.T, preferred_element_type=jnp.float32
+            )
         positions = offset + jnp.arange(local_n, dtype=jnp.int32)[None, :]
         positions = jnp.broadcast_to(positions, scores.shape)
         if true_num_items is not None:
@@ -155,7 +170,7 @@ def sharded_topk(
         # (m, B, local_k) candidates -> merged (B, k)
         return _gather_merge(local_scores, local_pos, k, batch)
 
-    return inner(queries, corpus, exclude_positions)
+    return inner(queries, corpus, exclude_positions, scales)
 
 
 def sharded_certified_topk(
@@ -261,6 +276,7 @@ def sharded_packed_certified_topk(
     corpus_tile: int | None = None,
     merge_levels: int = 0,
     true_num_items: int | None = None,
+    scales: Array | None = None,
     shard_queries: bool | None = None,
     interpret: bool | None = None,
 ) -> tuple[Array, Array, Array]:
@@ -297,7 +313,9 @@ def sharded_packed_certified_topk(
     qspec, data_size = _query_spec(mesh, batch, shard_queries)
     bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, batch // data_size)
     ct = corpus_tile or tk.pick_corpus_tile(local_n, corpus.shape[1])
-    ct = min(ct, local_n)
+    # lane-pair merges split the tile in half: keep ct a multiple
+    # of 8 (pad rows inside the shard cover the remainder)
+    ct = max(8, (min(ct, local_n) // 8) * 8)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     local_k = min(k, local_n)
@@ -308,19 +326,29 @@ def sharded_packed_certified_topk(
     idx_bits = max((num_tiles - 1).bit_length(), 1)
     while merge_levels and 2 * (ct >> merge_levels) < local_k:
         merge_levels -= 1
+    has_scales = scales is not None
+    if not has_scales:
+        scales = jnp.zeros((1, num_model), dtype=jnp.float32)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(qspec, P(MODEL_AXIS, None)),
+        in_specs=(qspec, P(MODEL_AXIS, None), P(None, MODEL_AXIS)),
         out_specs=(qspec, qspec, qspec),
         check_vma=False,
     )
-    def inner(q, corpus_local):
+    def inner(q, corpus_local, scales_local):
         pad = -local_n % ct
         corpus_padded = (
             jnp.pad(corpus_local, ((0, pad), (0, 0))) if pad else corpus_local
         )
+        scales_padded = None
+        if has_scales:
+            scales_padded = (
+                jnp.pad(scales_local, ((0, 0), (0, pad)))
+                if pad
+                else scales_local
+            )
         local_keys, local_pos, dmax = tk.packed_certified_parts(
             q,
             corpus_padded,
@@ -331,6 +359,7 @@ def sharded_packed_certified_topk(
             idx_bits=idx_bits,
             merge_levels=merge_levels,
             true_num_items=local_n if pad else None,
+            scales=scales_padded,
             interpret=interpret,
         )
         offset = jax.lax.axis_index(MODEL_AXIS) * local_n
@@ -353,7 +382,7 @@ def sharded_packed_certified_topk(
         )
         return scores, top_pos, exact
 
-    return inner(queries, corpus)
+    return inner(queries, corpus, scales)
 
 
 def sharded_packed_guaranteed_topk(
@@ -370,6 +399,7 @@ def sharded_packed_guaranteed_topk(
     merge_keep: int = 3,
     retry_width: int | list[int] | tuple[int, ...] | None = None,
     retries: int = 2,
+    scales: Array | None = None,
     shard_queries: bool | None = None,
     interpret: bool | None = None,
 ) -> tuple[Array, Array, Array]:
@@ -403,7 +433,9 @@ def sharded_packed_guaranteed_topk(
     local_batch = batch // data_size
     bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, local_batch)
     ct = corpus_tile or tk.pick_corpus_tile(local_n, corpus.shape[1])
-    ct = min(ct, local_n)
+    # lane-pair merges split the tile in half: keep ct a multiple
+    # of 8 (pad rows inside the shard cover the remainder)
+    ct = max(8, (min(ct, local_n) // 8) * 8)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     local_k = min(k, local_n)
@@ -445,20 +477,30 @@ def sharded_packed_guaranteed_topk(
             w = min(w + (-w % bt), local_batch)
         adjusted.append(w or local_batch)
     widths = adjusted
+    has_scales = scales is not None
+    if not has_scales:
+        scales = jnp.zeros((1, num_model), dtype=jnp.float32)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(qspec, P(MODEL_AXIS, None)),
+        in_specs=(qspec, P(MODEL_AXIS, None), P(None, MODEL_AXIS)),
         out_specs=(qspec, qspec, qspec),
         check_vma=False,
     )
-    def inner(q, corpus_local):
+    def inner(q, corpus_local, scales_local):
         b = q.shape[0]
         pad = -local_n % ct
         corpus_padded = (
             jnp.pad(corpus_local, ((0, pad), (0, 0))) if pad else corpus_local
         )
+        scales_padded = None
+        if has_scales:
+            scales_padded = (
+                jnp.pad(scales_local, ((0, 0), (0, pad)))
+                if pad
+                else scales_local
+            )
         offset = jax.lax.axis_index(MODEL_AXIS) * local_n
 
         def local_sweep(qrows, shuffle, tile):
@@ -474,6 +516,7 @@ def sharded_packed_guaranteed_topk(
                 merge_keep=merge_keep,
                 true_num_items=local_n if pad else None,
                 lane_shuffle=shuffle,
+                scales=scales_padded,
                 interpret=interpret,
             )
             pos = offset + pos
@@ -552,7 +595,7 @@ def sharded_packed_guaranteed_topk(
         )
         return scores, positions, exact
 
-    return inner(queries, corpus)
+    return inner(queries, corpus, scales)
 
 
 def sharded_packed_topk_excluding(
@@ -569,6 +612,7 @@ def sharded_packed_topk_excluding(
     merge_levels: int = 1,
     merge_keep: int = 2,
     selector: str = "topk",
+    scales: Array | None = None,
     shard_queries: bool | None = None,
     interpret: bool | None = None,
 ) -> tuple[Array, Array]:
@@ -598,7 +642,9 @@ def sharded_packed_topk_excluding(
     qspec, data_size = _query_spec(mesh, batch, shard_queries)
     bt = batch_tile or min(tk.DEFAULT_BATCH_TILE, batch // data_size)
     ct = corpus_tile or tk.pick_corpus_tile(local_n, corpus.shape[1])
-    ct = min(ct, local_n)
+    # lane-pair merges split the tile in half: keep ct a multiple
+    # of 8 (pad rows inside the shard cover the remainder)
+    ct = max(8, (min(ct, local_n) // 8) * 8)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if true_num_items is not None and true_num_items >= corpus.shape[0]:
@@ -630,19 +676,29 @@ def sharded_packed_topk_excluding(
     has_exclusions = exclude_positions is not None
     if not has_exclusions:
         exclude_positions = jnp.zeros((batch, 1), dtype=jnp.int32)
+    has_scales = scales is not None
+    if not has_scales:
+        scales = jnp.zeros((1, num_model), dtype=jnp.float32)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(qspec, P(MODEL_AXIS, None), qspec),
+        in_specs=(qspec, P(MODEL_AXIS, None), qspec, P(None, MODEL_AXIS)),
         out_specs=(qspec, qspec),
         check_vma=False,
     )
-    def inner(q, corpus_local, excl):
+    def inner(q, corpus_local, excl, scales_local):
         pad = -local_n % ct
         corpus_padded = (
             jnp.pad(corpus_local, ((0, pad), (0, 0))) if pad else corpus_local
         )
+        scales_padded = None
+        if has_scales:
+            scales_padded = (
+                jnp.pad(scales_local, ((0, 0), (0, pad)))
+                if pad
+                else scales_local
+            )
         local_keys, local_pos, _ = tk.packed_certified_parts(
             q,
             corpus_padded,
@@ -658,6 +714,7 @@ def sharded_packed_topk_excluding(
             # table), same default as packed_topk_excluding
             selector=selector,
             true_num_items=local_n if pad else None,
+            scales=scales_padded,
             track_discards=False,
             interpret=interpret,
         )
@@ -693,4 +750,4 @@ def sharded_packed_topk_excluding(
         )
         return scores, top_pos
 
-    return inner(queries, corpus, exclude_positions)
+    return inner(queries, corpus, exclude_positions, scales)
