@@ -79,6 +79,43 @@ class TestShardedTrain:
             rtol=2e-4,
         )
 
+    def test_history_tower_sharded_matches_single_device(self):
+        """The history user tower (models/history.py) under DP: the
+        (B, H, L) history tokens shard over the batch axis; the fused
+        step's loss must match the single-device step."""
+        from xfmr_rec_tpu.training.module import make_train_step
+
+        config = TrainConfig(**TINY, user_tower="history", max_history=3)
+        rng = np.random.default_rng(5)
+        batch = synthetic_batch(seed=5)
+        size = batch["user_tokens"].shape[0]
+        batch["hist_tokens"] = rng.integers(1, 300, (size, 3, 8)).astype(
+            np.int32
+        )
+        batch["hist_mask"] = rng.random((size, 3)) < 0.7
+        batch["hist_ratings"] = rng.integers(0, 6, (size, 3)).astype(
+            np.int32
+        )
+        # at least one all-padded history row (the NaN regression shape)
+        batch["hist_mask"][0] = False
+        batch["hist_tokens"][0] = 0
+
+        _, state1 = create_train_state(config, rng=0)
+        step1 = jax.jit(make_train_step(config))
+        _, m1 = step1(state1, batch)
+
+        mesh = create_mesh(8, model_parallel=2)
+        _, state8 = create_train_state(config, rng=0)
+        state8 = replicate(state8, mesh)
+        step8 = make_sharded_train_step(config, mesh)
+        _, m8 = step8(state8, shard_batch(batch, mesh))
+        assert np.isfinite(float(m8["train/grad_norm"]))
+        np.testing.assert_allclose(
+            float(m1["train/PairwiseHingeLoss"]),
+            float(m8["train/PairwiseHingeLoss"]),
+            rtol=2e-4,
+        )
+
 
 class TestShardedTopK:
     def test_matches_dense(self):

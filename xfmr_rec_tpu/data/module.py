@@ -63,6 +63,18 @@ class DataConfig(pydantic.BaseModel):
     # corpora) — with truncation, logged loudly.
     max_positives: int | None = None
     max_targets: int | None = None
+    # History-tower inputs (models/history.py): 0 = off. When > 0, every
+    # train/eval batch additionally carries the user's most recent
+    # `max_history` PRIOR train interactions (item positions / tokens,
+    # ratings, mask), most-recent-first. Train rows see a strictly causal
+    # prefix (interactions before the row's own timestamp — the current
+    # positive can never appear in its own history); eval/serving rows see
+    # the user's full train history, which IS the causal prefix at holdout
+    # time. The reference computes a rolling 4-week history feature
+    # (prepare.py:229-243) but never feeds it to the model; prefix
+    # semantics are used here so the training-time input distribution
+    # matches the serving-time one exactly.
+    max_history: int = 0
     seed: int = 0
     # offline fallback: generate a synthetic corpus when raw data is absent
     synthetic_if_missing: bool = True
@@ -255,6 +267,9 @@ class RecDataModule:
             train_items_by_user.setdefault(int(upos), []).append(int(ipos))
         self._train_items_by_user = train_items_by_user
 
+        if cfg.max_history > 0:
+            self._build_history_arrays()
+
         pos_rows = [
             np.asarray(train_items_by_user.get(u, []), dtype=np.int64) + 1
             for u in range(self.num_users)
@@ -346,6 +361,49 @@ class RecDataModule:
             len(self.train_user_pos),
         )
 
+    def _build_history_arrays(self) -> None:
+        """Causal history tables for the history user tower.
+
+        Train rows: `train_hist_pos[t, j]` = the item position of the
+        (j+1)-th most recent train interaction of row t's user STRICTLY
+        BEFORE row t (the ratings frame is written sorted by
+        (user_id, timestamp) — prepare.py process_ratings — so a user's
+        train rows are contiguous and time-ascending, and a row's causal
+        prefix is simply the rows above it in its block). -1 = no such
+        event. The current positive can never appear in its own history
+        (strictly-prior events; (user, movie) pairs are unique).
+
+        Users: `user_hist_pos[u]` = the user's most recent max_history
+        train interactions, most-recent-first — the serving-time input,
+        and exactly the causal prefix at the holdout boundary.
+        """
+        hist_len = self.config.max_history
+        num_rows = len(self.train_user_pos)
+        self.train_hist_pos = np.full((num_rows, hist_len), -1, np.int64)
+        self.train_hist_rating = np.zeros((num_rows, hist_len), np.int32)
+        self.user_hist_pos = np.full((self.num_users, hist_len), -1, np.int64)
+        self.user_hist_rating = np.zeros(
+            (self.num_users, hist_len), np.int32
+        )
+        if num_rows == 0:
+            return
+        boundaries = np.flatnonzero(np.diff(self.train_user_pos) != 0) + 1
+        for block in np.split(np.arange(num_rows), boundaries):
+            items = self.train_item_pos[block]
+            ratings = self.train_rating[block].astype(np.int32)
+            rows = len(block)
+            for back in range(min(hist_len, rows)):
+                src = np.arange(rows) - (back + 1)
+                valid = src >= 0
+                self.train_hist_pos[block[valid], back] = items[src[valid]]
+                self.train_hist_rating[block[valid], back] = ratings[
+                    src[valid]
+                ]
+            upos = int(self.train_user_pos[block[0]])
+            take = min(hist_len, rows)
+            self.user_hist_pos[upos, :take] = items[::-1][:take]
+            self.user_hist_rating[upos, :take] = ratings[::-1][:take]
+
     def train_history_item_ids(self, user_pos: int) -> list[int]:
         """Item IDS of one user's train-half interactions (the
         recommend-time exclusion set — reference lightning.py:89-90).
@@ -404,6 +462,7 @@ class RecDataModule:
         target: np.ndarray,
         pos_table: np.ndarray,
         sampler: NegativeItemSampler,
+        hist: tuple[np.ndarray, np.ndarray] | None = None,
     ) -> dict[str, np.ndarray]:
         """One loss-step batch (train and eval share this schema — keep
         them byte-identical so val losses measure the same quantity)."""
@@ -415,7 +474,7 @@ class RecDataModule:
                 self.item_log_q_uniform[neg_pos],
             ]
         )
-        return {
+        batch = {
             "user_tokens": self.user_tokens[upos],
             "item_tokens": self.item_tokens[ipos],
             "neg_item_tokens": self.item_tokens[neg_pos],
@@ -424,6 +483,18 @@ class RecDataModule:
             "pos_idx": pos_table[upos],
             "log_q": log_q,
         }
+        if hist is not None:
+            hist_pos, hist_rating = hist
+            mask = hist_pos >= 0
+            tokens = self.item_tokens[np.maximum(hist_pos, 0)]
+            # zero out padded slots' tokens (mask rides the batch too, but
+            # the encoder treats token 0 as PAD so padded slots cost no
+            # signal either way)
+            tokens = tokens * mask[..., None]
+            batch["hist_tokens"] = tokens.astype(self.item_tokens.dtype)
+            batch["hist_mask"] = mask
+            batch["hist_ratings"] = hist_rating
+        return batch
 
     def train_batches(self, epoch: int = 0) -> Iterator[dict[str, np.ndarray]]:
         """Shuffled fixed-shape training batches with MNS negatives."""
@@ -439,6 +510,11 @@ class RecDataModule:
                 self.train_rating[take],
                 self.user_pos_idx,
                 self._neg_sampler,
+                hist=(
+                    (self.train_hist_pos[take], self.train_hist_rating[take])
+                    if cfg.max_history > 0
+                    else None
+                ),
             )
 
     def eval_interaction_batches(
@@ -463,12 +539,21 @@ class RecDataModule:
             indices = np.resize(indices, batch)
         for start in range(0, len(indices) - batch + 1, batch):
             take = indices[start : start + batch]
+            upos = upos_all[take]
             yield self._assemble_loss_batch(
-                upos_all[take],
+                upos,
                 ipos_all[take],
                 rating_all[take],
                 self.user_holdout_pos_idx,
                 sampler,
+                # holdout rows' causal history = the user's full train
+                # history (every train event precedes every holdout event
+                # under the per-user temporal split)
+                hist=(
+                    (self.user_hist_pos[upos], self.user_hist_rating[upos])
+                    if cfg.max_history > 0
+                    else None
+                ),
             )
 
     # ------------------------------------------------------------------
@@ -524,7 +609,7 @@ class RecDataModule:
             for i, u in enumerate(take):
                 r = self._target_ratings[u][: self.max_targets]
                 ratings[i, : len(r)] = r
-            yield {
+            out = {
                 "user_pos": take,
                 "user_tokens": self.user_tokens[take],
                 "exclude_positions": exclude,
@@ -532,3 +617,12 @@ class RecDataModule:
                 "target_ratings": ratings,
                 "valid": valid,
             }
+            if cfg.max_history > 0:
+                # positions into the item corpus: the trainer/engine
+                # gathers history EMBEDDINGS from the re-embedded corpus
+                # matrix (no token re-encode on the eval/serving path)
+                hist_pos = self.user_hist_pos[take]
+                out["hist_positions"] = np.maximum(hist_pos, 0)
+                out["hist_mask"] = hist_pos >= 0
+                out["hist_ratings"] = self.user_hist_rating[take]
+            yield out

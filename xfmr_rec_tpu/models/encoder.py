@@ -73,6 +73,28 @@ class ModelConfig(pydantic.BaseModel):
     embedding_type: Literal["dense", "hash", "bloom"] = "dense"
     num_hashes: int = 2
     num_buckets: int = 4096
+    # User tower: "text" = the reference's demographics-text encoder;
+    # "history" = text profile fused with the user's rated-item history
+    # through a small transformer (the reference's unwired
+    # PoolingTransformer seam, models.py:66-87 — see models/history.py).
+    user_tower: Literal["text", "history"] = "text"
+    max_history: int = 16
+    history_layers: int = 1
+    use_history_ratings: bool = True
+
+
+def l2_normalize(x: "Array") -> "Array":
+    """Gradient-safe L2 normalize: rows of exactly zero (e.g. an all-PAD
+    padded-history slot mean-pools to 0) return 0 with ZERO gradient.
+    `x / max(||x||, eps)` is finite forward but its backward is NaN at
+    x == 0 (d||x||/dx = x/||x|| = 0/0). Two guards: clamping the SQUARED
+    norm before rsqrt kills the NaN through the norm (at sq == 0 the max
+    picks the constant branch), and the where() on x itself kills the
+    rsqrt(eps)=1e12-scaled direct term — zero rows get gradient exactly 0
+    instead of an exploding one."""
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    x = jnp.where(sq < 1e-24, 0.0, x)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
 
 
 def _kernel_init(cfg: "ModelConfig"):
@@ -272,8 +294,7 @@ class TextEncoder(nn.Module):
         pooled = self._pool(hidden, mask, dtype)
         pooled = pooled.astype(jnp.float32)
         if cfg.normalize:
-            norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
-            pooled = pooled / jnp.maximum(norm, 1e-12)
+            pooled = l2_normalize(pooled)
         return pooled
 
     def _pool(self, hidden: Array, mask: Array, dtype) -> Array:
@@ -290,7 +311,9 @@ class TextEncoder(nn.Module):
                 )(hidden[:, 0])
             )
         if cfg.pooling_mode == "max":
-            masked = jnp.where(mask[..., None], hidden, -jnp.inf)
+            # -1e9, not -inf: an all-PAD row (possible for padded history
+            # slots) must pool to a finite value or normalize emits NaN
+            masked = jnp.where(mask[..., None], hidden, -1e9)
             return jnp.max(masked, axis=1)
         # mean: mask-weighted average over real tokens
         weights = mask[..., None].astype(hidden.dtype)

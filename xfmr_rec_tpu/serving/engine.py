@@ -96,11 +96,41 @@ class RecommenderEngine:
             self.tokenizer = VocabTokenizer.load(path / "vocab.json")
         else:
             self.tokenizer = HashingTokenizer(tokenizer_config)
-        self.model = TextEncoder(self.model_config)
-        dummy = np.zeros((1, self.tokenizer.config.max_length), np.int32)
-        template = self.model.init(
-            {"params": jax.random.PRNGKey(0)}, dummy, deterministic=True
-        )["params"]
+        if self.model_config.user_tower == "history":
+            # history fusion user tower (models/history.py): item search
+            # and raw-query embedding still ride the text path; user
+            # queries fuse profile text with history-item embeddings
+            # gathered from the packaged corpus
+            from xfmr_rec_tpu.models.history import TwoTowerModel
+
+            self.model = TwoTowerModel(self.model_config)
+            dummy = np.zeros((1, self.tokenizer.config.max_length), np.int32)
+            dummy_hist = np.zeros(
+                (
+                    1,
+                    self.model_config.max_history,
+                    self.tokenizer.config.max_length,
+                ),
+                np.int32,
+            )
+            dummy_mask = np.zeros(
+                (1, self.model_config.max_history), bool
+            )
+            template = self.model.init(
+                {"params": jax.random.PRNGKey(0)},
+                dummy,
+                dummy_hist,
+                dummy_mask,
+                dummy_mask.astype(np.int32),
+                deterministic=True,
+                method="encode_user",
+            )["params"]
+        else:
+            self.model = TextEncoder(self.model_config)
+            dummy = np.zeros((1, self.tokenizer.config.max_length), np.int32)
+            template = self.model.init(
+                {"params": jax.random.PRNGKey(0)}, dummy, deterministic=True
+            )["params"]
         self.params = jax.device_put(
             serialization.from_bytes(
                 template, (path / "encoder.msgpack").read_bytes()
@@ -186,6 +216,23 @@ class RecommenderEngine:
                 logger.info(
                     "IVF probe recall@10 = %.3f at nprobe=%d", recall, nprobe
                 )
+
+        self._hist_corpus = None
+        if self.model_config.user_tower == "history":
+            # full-precision corpus embeddings for history gathers (the
+            # fusion computes in bf16, so the f32-from-bf16 rounding in
+            # corpus.npz is compute-exact); one device copy, O(H) rows
+            # gathered per user query
+            from xfmr_rec_tpu.training.module import make_user_encode_fn
+
+            arrays = np.load(path / "index" / "corpus.npz", allow_pickle=False)
+            self._hist_corpus = jax.device_put(
+                arrays["embeddings"].astype(np.float32)
+            )
+            self._hist_pos_of_id = {
+                int(item_id): pos for pos, item_id in enumerate(arrays["ids"])
+            }
+            self._fuse_user = jax.jit(make_user_encode_fn(self.model))
 
         import pandas as pd
 
@@ -284,6 +331,50 @@ class RecommenderEngine:
 
     def process_user(self, user: UserQuery) -> Query:
         return Query(text=user.user_text)
+
+    def embed_user_query(self, user: UserQuery) -> Query:
+        """User-tower embedding for a user query.
+
+        Text tower: the profile-text embedding (the reference's
+        process_user -> embed path, service.py:280-283). History tower:
+        profile text fused with the user's most recent rated items —
+        embeddings gathered from the packaged corpus, most-recent-first
+        (models/history.py). Unknown movie_ids in the history are skipped.
+        """
+        if self.model_config.user_tower != "history":
+            return self.embed_query(self.process_user(user))
+        hist_len = self.model_config.max_history
+        tokens = self.tokenizer.encode_batch([user.user_text])
+        entries = sorted(
+            user.history or [], key=lambda entry: entry.datetime
+        )
+        positions: list[int] = []
+        ratings: list[int] = []
+        for entry in reversed(entries):  # most recent first
+            pos = self._hist_pos_of_id.get(int(entry.movie_id))
+            if pos is None:
+                continue
+            positions.append(pos)
+            ratings.append(int(entry.rating))
+            if len(positions) == hist_len:
+                break
+        hist_pos = np.zeros((1, hist_len), np.int32)
+        hist_mask = np.zeros((1, hist_len), bool)
+        hist_rat = np.zeros((1, hist_len), np.int32)
+        hist_pos[0, : len(positions)] = positions
+        hist_mask[0, : len(positions)] = True
+        hist_rat[0, : len(ratings)] = ratings
+        embedding = np.asarray(
+            self._fuse_user(
+                self.params,
+                tokens,
+                self._hist_corpus,
+                hist_pos,
+                hist_mask,
+                hist_rat,
+            )
+        )[0]
+        return Query(text=user.user_text, embedding=embedding.tolist())
 
     def search_items_text(self, query: str, *, top_k: int = 10) -> list[dict]:
         """Keyword (BM25) search over item text — the reference's item

@@ -146,7 +146,10 @@ class RecService:
             exclude_item_ids += [a.movie_id for a in user.history]
         if user.target:
             exclude_item_ids += [a.movie_id for a in user.target]
-        query = self.process_user(user)
+        # embed through the model's real user tower (text, or history
+        # fusion — serving/engine.py embed_user_query); for the text
+        # tower this is exactly process_user -> embed_query
+        query = self.engine.embed_user_query(user)
         return self.recommend_with_query(
             query, exclude_item_ids=exclude_item_ids, top_k=top_k
         )

@@ -246,9 +246,9 @@ def main(argv: list[str] | None = None) -> dict[str, float] | None:
         raise SystemExit(msg)
     upos = upos_list[0]
     exclude = trainer.data.train_history_item_ids(upos)
-    recs = trainer.recommend(
-        [trainer.data.user_texts[upos]], exclude_ids=[exclude]
-    )[0]
+    # recommend_users rides the model's real user tower (text, or history
+    # fusion) — identical embeddings to the eval/serving path
+    recs = trainer.recommend_users([upos], exclude_ids=[exclude])[0]
     print(json.dumps(recs, indent=2))
     return None
 

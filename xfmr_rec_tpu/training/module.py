@@ -77,7 +77,12 @@ def create_train_state(
     if isinstance(rng, int):
         rng = jax.random.PRNGKey(rng)
     params_rng, dropout_rng = jax.random.split(rng)
-    model, params = init_encoder(config, params_rng)
+    if config.user_tower == "history":
+        from xfmr_rec_tpu.models.history import init_two_tower
+
+        model, params = init_two_tower(config, params_rng)
+    else:
+        model, params = init_encoder(config, params_rng)
     if config.lr_schedule == "cosine" or config.warmup_steps:
         total = config.total_steps or max(config.warmup_steps + 1, 1000)
         if config.lr_schedule == "cosine":
@@ -123,16 +128,36 @@ def compute_batch_losses(
 ) -> dict[str, Array]:
     """Encode the three towers in one pass and run the full loss family."""
     batch_size = batch["user_tokens"].shape[0]
-    tokens = jnp.concatenate(
-        [batch["user_tokens"], batch["item_tokens"], batch["neg_item_tokens"]]
-    )
     deterministic = dropout_rng is None
     rngs = None if deterministic else {"dropout": dropout_rng}
-    embeds = apply_fn(
-        {"params": params}, tokens, deterministic=deterministic, rngs=rngs
-    )
-    user_embed = embeds[:batch_size]
-    item_embed = embeds[batch_size:]  # positives then sampled negatives
+    if config.user_tower == "history":
+        # one text pass over user + pos + neg + history rows, then the
+        # fusion block (models/history.py train_embeds)
+        user_embed, item_embed = apply_fn(
+            {"params": params},
+            batch["user_tokens"],
+            batch["item_tokens"],
+            batch["neg_item_tokens"],
+            batch["hist_tokens"],
+            batch["hist_mask"],
+            batch["hist_ratings"],
+            deterministic=deterministic,
+            rngs=rngs,
+            method="train_embeds",
+        )
+    else:
+        tokens = jnp.concatenate(
+            [
+                batch["user_tokens"],
+                batch["item_tokens"],
+                batch["neg_item_tokens"],
+            ]
+        )
+        embeds = apply_fn(
+            {"params": params}, tokens, deterministic=deterministic, rngs=rngs
+        )
+        user_embed = embeds[:batch_size]
+        item_embed = embeds[batch_size:]  # positives then sampled negatives
     return compute_losses(
         user_embed,
         item_embed,
@@ -193,3 +218,39 @@ def make_encode_fn(model: TextEncoder):
         return model.apply({"params": params}, tokens, deterministic=True)
 
     return encode
+
+
+def make_user_encode_fn(model):
+    """Eval/serving user tower for the history model.
+
+    History item embeddings are GATHERED from the corpus embedding matrix
+    (already re-embedded by build_index / stored in the serving index)
+    instead of re-encoding item text — the user tower then costs one text
+    encode plus one (B, H+1, d) fusion block. Identical numerics to the
+    training path: the corpus rows ARE this encoder's deterministic
+    embeddings of the same item tokens (asserted in tests/test_history.py).
+    """
+
+    def encode_users(
+        params: Any,
+        user_tokens: Array,  # (B, L)
+        corpus: Array,  # (N, d) f32 item embeddings
+        hist_positions: Array,  # (B, H) int, padded slots clipped to 0
+        hist_mask: Array,  # (B, H) bool
+        hist_ratings: Array,  # (B, H) int
+    ) -> Array:
+        text_emb = model.apply(
+            {"params": params}, user_tokens, deterministic=True
+        )
+        hist_embs = jnp.take(corpus, hist_positions, axis=0)
+        return model.apply(
+            {"params": params},
+            text_emb,
+            hist_embs,
+            hist_mask,
+            hist_ratings,
+            deterministic=True,
+            method="fuse_user",
+        )
+
+    return encode_users

@@ -44,6 +44,7 @@ from xfmr_rec_tpu.training.module import (
     make_encode_fn,
     make_eval_loss_step,
     make_train_step,
+    make_user_encode_fn,
 )
 from xfmr_rec_tpu.utils.logging import MetricsLogger
 
@@ -100,7 +101,9 @@ class Trainer:
         self.state: TrainState | None = None
         self._train_step = None
         self._encode = None
+        self._encode_user = None
         self._eval_step = None
+        self._corpus_f32 = None
         self.global_step = 0
         self.best_metric = -np.inf
         self._bad_checks = 0
@@ -113,6 +116,22 @@ class Trainer:
     def setup(self) -> None:
         if self.state is not None:
             return
+        if self.config.user_tower == "history":
+            # the data module must emit history fields at the model's
+            # width; sync before setup (or fail loudly on a mismatch with
+            # an already-built data module)
+            if self.data._ready:
+                if self.data.config.max_history != self.config.max_history:
+                    msg = (
+                        "history tower needs data.max_history == "
+                        f"model.max_history ({self.data.config.max_history} "
+                        f"!= {self.config.max_history})"
+                    )
+                    raise ValueError(msg)
+            else:
+                self.data.config = self.data.config.model_copy(
+                    update={"max_history": self.config.max_history}
+                )
         self.data.prepare_data()
         self.data.setup()
         if (
@@ -171,12 +190,28 @@ class Trainer:
                 in_shardings=(replicated, sharded_rows),
                 out_shardings=replicated,
             )
+            if self.config.user_tower == "history":
+                sharded_any = NamedSharding(self.mesh, P(batch_spec()[0]))
+                self._encode_user = jax.jit(
+                    make_user_encode_fn(self.model),
+                    in_shardings=(
+                        replicated,
+                        sharded_rows,
+                        replicated,
+                        sharded_any,
+                        sharded_any,
+                        sharded_any,
+                    ),
+                    out_shardings=replicated,
+                )
         else:
             self._train_step = jax.jit(
                 make_train_step(self.config), donate_argnums=0
             )
             self._eval_step = jax.jit(make_eval_loss_step(self.config))
             self._encode = jax.jit(make_encode_fn(self.model))
+            if self.config.user_tower == "history":
+                self._encode_user = jax.jit(make_user_encode_fn(self.model))
         self.logger.log_hyperparams(
             {
                 "model": self.config.model_dump(),
@@ -333,6 +368,10 @@ class Trainer:
             self.data.item_tokens,
             as_numpy=self.config.index_dtype == "int8",
         )
+        if self.config.user_tower == "history":
+            # the history user tower gathers its history-item embeddings
+            # from this exact matrix (full precision, on device)
+            self._corpus_f32 = jnp.asarray(corpus, dtype=jnp.float32)
         metadata = [
             {"movie_text": text, "movie_rn": int(rn)}
             for text, rn in zip(self.data.item_texts, self.data.item_rns)
@@ -363,6 +402,40 @@ class Trainer:
             )
             self._sharded_corpus_pad = pad
         return self.index
+
+    def _eval_user_embeds(self, batch: dict) -> np.ndarray:
+        """User embeddings for one eval batch: plain text encode, or —
+        history tower — text encode + fusion over history embeddings
+        gathered from the freshly built corpus matrix."""
+        if self.config.user_tower != "history":
+            return self._encode_tokens(batch["user_tokens"])
+        tokens = batch["user_tokens"]
+        hist_pos = batch["hist_positions"].astype(np.int32)
+        hist_mask = batch["hist_mask"].astype(bool)
+        hist_rat = batch["hist_ratings"].astype(np.int32)
+        pad = -len(tokens) % (self.mesh.size if self.mesh else 1)
+        if pad:
+            tokens = np.concatenate(
+                [tokens, np.zeros((pad, tokens.shape[1]), tokens.dtype)]
+            )
+            hist_pos = np.concatenate(
+                [hist_pos, np.zeros((pad, hist_pos.shape[1]), hist_pos.dtype)]
+            )
+            hist_mask = np.concatenate(
+                [hist_mask, np.zeros((pad, hist_mask.shape[1]), bool)]
+            )
+            hist_rat = np.concatenate(
+                [hist_rat, np.zeros((pad, hist_rat.shape[1]), hist_rat.dtype)]
+            )
+        out = self._encode_user(
+            self.state.params,
+            tokens,
+            self._corpus_f32,
+            hist_pos,
+            hist_mask,
+            hist_rat,
+        )
+        return np.asarray(out[:-pad] if pad else out)
 
     def _sharded_search(
         self, users: jnp.ndarray, batch: dict, top_k: int
@@ -404,7 +477,7 @@ class Trainer:
         for batch_idx, batch in enumerate(self.data.eval_batches(subset)):
             if limit is not None and batch_idx >= limit:
                 break
-            users = self._encode_tokens(batch["user_tokens"])
+            users = self._eval_user_embeds(batch)
             if self._sharded_corpus is not None:
                 _, pred_ids = self._sharded_search(users, batch, top_k)
             else:
@@ -487,7 +560,7 @@ class Trainer:
         rec_ids: list[np.ndarray] = []
         rec_scores: list[np.ndarray] = []
         for batch in self.data.eval_batches("predict"):
-            users = self._encode_tokens(batch["user_tokens"])
+            users = self._eval_user_embeds(batch)
             if self._sharded_corpus is not None:
                 scores, pred_ids = self._sharded_search(users, batch, top_k)
             else:
@@ -543,6 +616,40 @@ class Trainer:
         scores, item_ids = self.index.search(
             embeds, top_k=top_k or self.config.top_k, exclude_ids=exclude_ids
         )
+        return self._format_candidates(scores, item_ids)
+
+    def eval_user_embeddings(self, user_pos: np.ndarray) -> np.ndarray:
+        """Embeddings of dataset users by position — rides the same path
+        as eval/serving (text tower, or history fusion over the corpus)."""
+        if self.index is None:
+            self.build_index()
+        batch: dict[str, np.ndarray] = {
+            "user_tokens": self.data.user_tokens[user_pos]
+        }
+        if self.config.user_tower == "history":
+            hist_pos = self.data.user_hist_pos[user_pos]
+            batch["hist_positions"] = np.maximum(hist_pos, 0)
+            batch["hist_mask"] = hist_pos >= 0
+            batch["hist_ratings"] = self.data.user_hist_rating[user_pos]
+        return self._eval_user_embeds(batch)
+
+    def recommend_users(
+        self,
+        user_pos: np.ndarray,
+        *,
+        top_k: int | None = None,
+        exclude_ids: list[list[int]] | None = None,
+    ) -> list[list[dict[str, Any]]]:
+        """Top-k recommendations for dataset users by position."""
+        embeds = self.eval_user_embeddings(np.asarray(user_pos))
+        scores, item_ids = self.index.search(
+            embeds, top_k=top_k or self.config.top_k, exclude_ids=exclude_ids
+        )
+        return self._format_candidates(scores, item_ids)
+
+    def _format_candidates(
+        self, scores: np.ndarray, item_ids: np.ndarray
+    ) -> list[list[dict[str, Any]]]:
         results = []
         for row_scores, row_ids in zip(scores, item_ids):
             results.append(
