@@ -393,6 +393,45 @@ class TestHistoryEndToEnd:
         rec_ids = [r["movie_id"] for r in recs]
         assert movie_ids[0] not in rec_ids  # history is auto-excluded
 
+    def test_mesh_fit_and_eval(self, data_dir, tmp_path_factory):
+        """History tower over the 8-device mesh: sharded train step AND
+        the sharded user-encode eval path (`_encode_user` with history
+        gathers + batch padding to mesh divisibility)."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        dmm = RecDataModule(
+            DataConfig(
+                data_dir=data_dir,
+                batch_size=8,
+                eval_batch_size=16,
+                max_length=16,
+                vocab_size=500,
+                max_history=4,
+            )
+        )
+        dmm.setup()
+        trainer = Trainer(
+            TrainConfig(**TINY_MODEL, **HIST),
+            data=dmm,
+            trainer_config=TrainerConfig(
+                max_steps=6,
+                limit_val_batches=2,
+                log_dir=str(tmp_path_factory.mktemp("histmesh")),
+                encode_batch_size=64,
+                mesh=True,
+                model_parallel=2,
+            ),
+        )
+        metrics = trainer.fit()
+        assert trainer.mesh is not None and trainer.mesh.size == 8
+        bad = {k: v for k, v in metrics.items() if not np.isfinite(v)}
+        assert not bad, bad
+        # odd request count forces the mesh-divisibility padding branch
+        recs = trainer.recommend_users([0, 1, 2], top_k=5)
+        assert len(recs) == 3 and len(recs[0]) == 5
+
     def test_history_width_mismatch_fails_loud(self, dm, tmp_path_factory):
         trainer = Trainer(
             TrainConfig(
