@@ -462,10 +462,36 @@ def main() -> None:
         help="trials.jsonl of a previous run to seed the adaptive sampler "
         "(transfer HPO; the default point is then skipped)",
     )
+    parser.add_argument(
+        "--model",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="fixed TrainConfig overrides applied to every trial (e.g. "
+        "--model user_tower=history --model max_history=16); the search "
+        "space still owns loss/negatives/sigma/margin/lr",
+    )
+    parser.add_argument(
+        "--losses",
+        help="comma-separated train-loss registry names to search instead "
+        "of the reference FLAML set (adaptive sampler only)",
+    )
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
+    base_model: dict[str, Any] = {}
+    for item in args.model:
+        key, _, raw = item.partition("=")
+        if not _:
+            msg = f"--model expects KEY=VALUE, got {item!r}"
+            raise SystemExit(msg)
+        try:
+            base_model[key] = json.loads(raw)
+        except json.JSONDecodeError:
+            base_model[key] = raw
+
     evaluate = make_trainer_evaluator(
+        base_model=base_model,
         base_data={"data_dir": args.data_dir},
         base_trainer={"log_dir": "runs/tune"},
     )
@@ -478,7 +504,18 @@ def main() -> None:
             seed=args.seed,
         )
     else:
-        sampler = AdaptiveSampler(SearchSpace(), seed=args.seed)
+        losses = (
+            tuple(args.losses.split(",")) if args.losses else TRAIN_LOSSES
+        )
+        from xfmr_rec_tpu.ops.losses import LOSSES
+
+        unknown = [name for name in losses if name not in LOSSES]
+        if unknown:
+            msg = f"unknown --losses names {unknown}; known: {sorted(LOSSES)}"
+            raise SystemExit(msg)
+        sampler = AdaptiveSampler(
+            SearchSpace(train_losses=losses), seed=args.seed
+        )
         warm = 0
         if args.warm_start:
             warm = warm_start_sampler(sampler, args.warm_start)
