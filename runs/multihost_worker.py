@@ -104,6 +104,35 @@ def main() -> None:
     assert int(state.step) == 1
     print(f"OK pid={pid} devices={jax.device_count()} loss={loss:.6f}")
 
+    # --- history user tower (models/history.py) across processes ------
+    # the (B, H, L) history tokens shard over the same global batch axis;
+    # the fused step's gradient all-reduce crosses the process boundary
+    hist_config = config.model_copy(
+        update={"user_tower": "history", "max_history": 3}
+    )
+    _, hist_state = create_train_state(hist_config, rng=0)
+    hist_state = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            replicated, np.asarray(x)
+        ),
+        hist_state,
+    )
+    hist_step = make_sharded_train_step(hist_config, mesh)
+    hist_full = dict(full)
+    hist_full["hist_tokens"] = rng.integers(
+        1, 300, (batch_size, 3, 8)
+    ).astype(np.int32)
+    hist_full["hist_mask"] = rng.random((batch_size, 3)) < 0.7
+    hist_full["hist_ratings"] = rng.integers(
+        0, 6, (batch_size, 3)
+    ).astype(np.int32)
+    hist_batch = {k: to_global(v) for k, v in hist_full.items()}
+    hist_state, hist_metrics = hist_step(hist_state, hist_batch)
+    jax.block_until_ready(hist_metrics)
+    hist_loss = float(hist_metrics["train/PairwiseHingeLoss"])
+    assert np.isfinite(hist_loss)
+    print(f"OKHIST pid={pid} loss={hist_loss:.6f}")
+
     # --- sharded retrieval across process boundaries (VERDICT r2 #8) --
     # The corpus shards over the "model" mesh axis, which spans BOTH
     # processes here, so the all-gather candidate merge and the pmax

@@ -58,11 +58,18 @@ def test_two_process_train_step_agrees():
         outs.append(out)
         assert proc.returncode == 0, out[-2000:]
     losses = set()
+    hist_losses = set()
     for out in outs:
         ok_lines = [ln for ln in out.splitlines() if ln.startswith("OK ")]
         assert ok_lines, out[-2000:]
         assert "devices=8" in ok_lines[0]
         losses.add(ok_lines[0].split("loss=")[1])
+        # the history-tower step also crossed the process boundary
+        hist_lines = [
+            ln for ln in out.splitlines() if ln.startswith("OKHIST ")
+        ]
+        assert hist_lines, out[-2000:]
+        hist_losses.add(hist_lines[0].split("loss=")[1])
         # sharded retrieval crossed the process boundary and its
         # certified rows matched the dense reference (asserted in the
         # worker; the marker proves the code path ran on both workers)
@@ -72,3 +79,4 @@ def test_two_process_train_step_agrees():
         assert retrieval_lines, out[-2000:]
     # both workers computed the SAME globally-reduced loss
     assert len(losses) == 1
+    assert len(hist_losses) == 1
