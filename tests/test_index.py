@@ -518,3 +518,151 @@ class TestPackedScanKernel:
             pk.search(queries, top_k=5)[1],
             loaded.search(queries, top_k=5)[1],
         )
+
+
+class TestMutableCatalog:
+    """add_items/remove_items: the live index must equal a fresh build."""
+
+    def _data(self, n=200, extra=40, d=16, seed=33):
+        rng = np.random.default_rng(seed)
+        corpus = rng.normal(size=(n + extra, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+        queries = rng.normal(size=(6, d)).astype(np.float32)
+        return corpus[:n], corpus[n:], queries
+
+    @pytest.mark.parametrize("dtype,method", [
+        ("bfloat16", "dense"),
+        ("float32", "scan"),
+        ("int8", "scan"),
+    ])
+    def test_add_matches_fresh_build(self, dtype, method):
+        base, extra, queries = self._data()
+        n = len(base)
+        idx = RetrievalIndex(
+            base, np.arange(1, n + 1), dtype=dtype, method=method
+        )
+        idx.search(queries, top_k=5)  # compile + cache the old geometry
+        idx.add_items(
+            extra,
+            np.arange(n + 1, n + 1 + len(extra)),
+            metadata=[{"title": f"new-{i}"} for i in range(len(extra))],
+        )
+        fresh = RetrievalIndex(
+            np.concatenate([base, extra]),
+            np.arange(1, n + 1 + len(extra)),
+            dtype=dtype,
+            method=method,
+        )
+        s_mut, ids_mut = idx.search(queries, top_k=10)
+        s_ref, ids_ref = fresh.search(queries, top_k=10)
+        np.testing.assert_array_equal(ids_mut, ids_ref)
+        np.testing.assert_allclose(s_mut, s_ref, rtol=1e-3, atol=1e-3)
+        # metadata surface reflects the mutation
+        assert idx.get_id(n + 1)["title"] == "new-0"
+        assert len(idx) == n + len(extra)
+
+    def test_added_items_are_retrievable(self):
+        base, extra, _ = self._data()
+        n = len(base)
+        idx = RetrievalIndex(base, np.arange(1, n + 1), dtype="float32")
+        idx.add_items(extra, np.arange(n + 1, n + 1 + len(extra)))
+        # query WITH an added item's own embedding: it must rank first
+        s, ids = idx.search(extra[:3], top_k=1)
+        np.testing.assert_array_equal(ids[:, 0], [n + 1, n + 2, n + 3])
+
+    def test_remove_matches_fresh_build(self):
+        base, _, queries = self._data()
+        n = len(base)
+        idx = RetrievalIndex(
+            base, np.arange(1, n + 1), dtype="float32", method="scan"
+        )
+        idx.search(queries, top_k=5)
+        drop = [3, 50, 199]
+        idx.remove_items(drop)
+        keep = np.array([i not in drop for i in range(1, n + 1)])
+        fresh = RetrievalIndex(
+            base[keep], np.arange(1, n + 1)[keep],
+            dtype="float32", method="scan",
+        )
+        s_mut, ids_mut = idx.search(queries, top_k=10)
+        s_ref, ids_ref = fresh.search(queries, top_k=10)
+        np.testing.assert_array_equal(ids_mut, ids_ref)
+        np.testing.assert_allclose(s_mut, s_ref, rtol=1e-3, atol=1e-3)
+        assert idx.get_id(3) == {}
+        assert len(idx) == n - 3
+
+    def test_remove_int8_keeps_scales_aligned(self):
+        base, _, queries = self._data()
+        n = len(base)
+        idx = RetrievalIndex(base, np.arange(1, n + 1), dtype="int8")
+        idx.remove_items([1, 2])
+        fresh = RetrievalIndex(
+            base[2:], np.arange(3, n + 1), dtype="int8"
+        )
+        np.testing.assert_array_equal(
+            idx.search(queries, top_k=8)[1],
+            fresh.search(queries, top_k=8)[1],
+        )
+
+    def test_certified_search_after_add(self):
+        base, extra, queries = self._data()
+        n = len(base)
+        idx = RetrievalIndex(
+            base, np.arange(1, n + 1), dtype="float32", method="scan",
+            scan_kernel="packed",
+        )
+        idx.search_certified(queries, top_k=5, method="packed")
+        idx.add_items(extra, np.arange(n + 1, n + 1 + len(extra)))
+        s, ids = idx.search_certified(
+            queries, top_k=5, method="packed", exact_scores=True
+        )
+        ref = queries @ np.concatenate([base, extra]).T
+        for b in range(len(queries)):
+            np.testing.assert_allclose(
+                np.sort(s[b])[::-1], np.sort(ref[b])[::-1][:5],
+                rtol=1e-2, atol=1e-2,
+            )
+
+    def test_fail_loud(self):
+        base, extra, _ = self._data()
+        n = len(base)
+        idx = RetrievalIndex(base, np.arange(1, n + 1))
+        with pytest.raises(ValueError, match="already in the index"):
+            idx.add_items(extra[:1], [1])
+        with pytest.raises(ValueError, match="duplicate ids"):
+            idx.add_items(extra[:2], [n + 1, n + 1])
+        with pytest.raises(ValueError, match="dim mismatch"):
+            idx.add_items(extra[:1, :8], [n + 1])
+        with pytest.raises(ValueError, match="not in the index"):
+            idx.remove_items([99999])
+        with pytest.raises(ValueError, match="must align"):
+            idx.add_items(extra[:2], [n + 1, n + 2], metadata=[{}])
+
+    def test_save_load_after_mutation(self, tmp_path):
+        base, extra, queries = self._data()
+        n = len(base)
+        idx = RetrievalIndex(base, np.arange(1, n + 1), dtype="bfloat16")
+        idx.add_items(extra, np.arange(n + 1, n + 1 + len(extra)))
+        idx.remove_items([5])
+        idx.save(tmp_path / "mut")
+        loaded = RetrievalIndex.load(tmp_path / "mut")
+        assert len(loaded) == n + len(extra) - 1
+        np.testing.assert_array_equal(
+            idx.search(queries, top_k=10)[1],
+            loaded.search(queries, top_k=10)[1],
+        )
+
+    def test_bm25_rebuilds_after_add(self):
+        base, extra, _ = self._data()
+        n = len(base)
+        idx = RetrievalIndex(
+            base,
+            np.arange(1, n + 1),
+            metadata=[{"text": f"movie number {i}"} for i in range(n)],
+        )
+        assert idx.search_text("zebra", top_k=3) == []
+        idx.add_items(
+            extra[:1], [n + 1], metadata=[{"text": "the zebra film"}]
+        )
+        hits = idx.search_text("zebra", top_k=3)
+        assert hits and hits[0]["id"] == n + 1

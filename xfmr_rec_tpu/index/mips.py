@@ -331,6 +331,18 @@ class RetrievalIndex(CorpusMetadata):
             msg = f"unknown scan_kernel {scan_kernel!r}"
             raise ValueError(msg)
         self.scan_kernel = scan_kernel
+        self._build_search_fn()
+
+    def _build_search_fn(self) -> None:
+        """(Re)build the jitted search entry for the current corpus.
+
+        Called from __init__ and after catalog mutations
+        (add_items/remove_items) — the scan closures bake the padded
+        geometry (corpus_tile, true_num_items) as compile-time
+        constants, so a corpus length change needs fresh closures (and
+        a recompile on the next search).
+        """
+        method = self.method
         if method == "scan":
             from xfmr_rec_tpu.ops.topk_pallas import (
                 packed_topk_excluding,
@@ -342,7 +354,7 @@ class RetrievalIndex(CorpusMetadata):
             )
             self._corpus_arg = corpus_padded
             self._scales_arg = scales_padded
-            if scan_kernel == "packed":
+            if self.scan_kernel == "packed":
                 # ~40% faster sweep; scores are quantum-floor decodes
                 # (see _search_certified_packed's precision notes)
                 self._search_fn = jax.jit(
@@ -918,6 +930,144 @@ class RetrievalIndex(CorpusMetadata):
             )
         item_ids = np.asarray(self._ids_dev)[np.asarray(positions)]
         return np.asarray(scores), item_ids
+
+    # -- catalog mutation ---------------------------------------------------
+    def _invalidate_compiled(self) -> None:
+        """Drop every closure that baked the old corpus geometry.
+
+        The scan/certified/guaranteed entry points capture
+        (corpus_tile, true_num_items) as compile-time constants; after a
+        catalog mutation they must be rebuilt (the next search pays one
+        recompile). `_dense_fn` takes the corpus as a traced argument and
+        is shape-polymorphic via retrace, so it survives. The lazy BM25
+        index is rebuilt from the mutated metadata on next use.
+        """
+        for attr in (
+            "_scan_state",
+            "_certified_fn",
+            "_guaranteed_fn",
+            "_packed_fn",
+            "_fts",
+            "_fts_col",
+        ):
+            self.__dict__.pop(attr, None)
+        self._build_search_fn()
+
+    def add_items(
+        self,
+        embeddings: np.ndarray,
+        ids: np.ndarray | list[int],
+        metadata: list[dict] | None = None,
+    ) -> None:
+        """Append items to the live index (mutable-catalog capability).
+
+        The reference's LanceDB tables are mutable stores (its code
+        rebuilds them wholesale at data/lightning.py:183-235, but the
+        capability exists); the TPU-native equivalent appends rows to
+        the HBM corpus and rebuilds the jitted search closures. Cost
+        model: one device concat now + ONE XLA recompile on the next
+        search (the padded corpus length is a compile-time constant) —
+        amortize by batching catalog updates, not by calling this
+        per item. int8 corpora quantize the new rows independently
+        (per-item scales), so existing rows are untouched bit-for-bit.
+
+        New ids must not collide with existing ones (fail-loud).
+
+        Single-writer contract: mutation rebuilds the compiled closures
+        in place and is NOT safe against searches running concurrently
+        in other threads — quiesce traffic first, or mutate through
+        `RecommenderEngine.add_items`, which publishes by atomic index
+        swap instead.
+        """
+        emb = np.asarray(embeddings, dtype=np.float32)
+        ids = np.asarray(ids)
+        if emb.ndim != 2 or emb.shape[0] != len(ids):
+            msg = "embeddings and ids must align"
+            raise ValueError(msg)
+        if emb.shape[0] == 0:
+            return
+        if emb.shape[1] != self.dim:
+            msg = f"dim mismatch: corpus {self.dim}, new {emb.shape[1]}"
+            raise ValueError(msg)
+        if metadata is not None and len(metadata) != len(ids):
+            msg = "metadata and ids must align"
+            raise ValueError(msg)
+        new_ids = [int(i) for i in ids.tolist()]
+        if len(set(new_ids)) != len(new_ids):
+            msg = "duplicate ids within the added batch"
+            raise ValueError(msg)
+        clashes = [i for i in new_ids if i in self._id_to_pos]
+        if clashes:
+            msg = f"ids already in the index: {clashes[:8]}"
+            raise ValueError(msg)
+        if self.dtype == "int8":
+            scale = np.maximum(np.abs(emb).max(axis=1) / 127.0, 1e-12)
+            quant = np.clip(
+                np.round(emb / scale[:, None]), -127, 127
+            ).astype(np.int8)
+            self.corpus = jnp.concatenate(
+                [self.corpus, jnp.asarray(quant)], axis=0
+            )
+            self._scales = jnp.concatenate(
+                [self._scales, jnp.asarray(scale.reshape(1, -1))], axis=1
+            )
+            added_maxnorm = float(
+                (np.linalg.norm(quant.astype(np.float32), axis=1) * scale)
+                .max(initial=0.0)
+            )
+        else:
+            self.corpus = jnp.concatenate(
+                [self.corpus, jnp.asarray(emb, dtype=self.corpus.dtype)],
+                axis=0,
+            )
+            added_maxnorm = float(
+                np.linalg.norm(emb, axis=1).max(initial=0.0)
+            )
+        self._corpus_maxnorm = max(self._corpus_maxnorm, added_maxnorm)
+        base = len(self.ids)
+        self.ids = np.concatenate([self.ids, ids])
+        self.metadata = list(self.metadata) + (
+            list(metadata) if metadata is not None else [{} for _ in new_ids]
+        )
+        for off, id_val in enumerate(new_ids):
+            self._id_to_pos[id_val] = base + off
+        self._ids_dev = jnp.asarray(self.ids.astype(np.int32))
+        self._invalidate_compiled()
+
+    def remove_items(self, ids: list[int] | np.ndarray) -> None:
+        """Delete items from the live index by id (fail-loud on misses).
+
+        Compacts the corpus (no tombstones: every remaining row stays a
+        live scan candidate, positions shift). One host round-trip of
+        the corpus + one recompile on the next search — same cost model
+        as add_items, batch your deletes.
+        """
+        drop = {int(i) for i in np.asarray(ids).tolist()}
+        missing = sorted(i for i in drop if i not in self._id_to_pos)
+        if missing:
+            msg = f"ids not in the index: {missing[:8]}"
+            raise ValueError(msg)
+        if not drop:
+            return
+        keep = np.array(
+            [int(i) not in drop for i in self.ids], dtype=bool
+        )
+        corpus_np = np.asarray(self.corpus)[keep]
+        self.corpus = jnp.asarray(corpus_np)
+        if self._scales is not None:
+            self._scales = jnp.asarray(np.asarray(self._scales)[:, keep])
+        # _corpus_maxnorm stays: removal cannot raise the max, so the old
+        # value remains a valid upper bound — and keeping it bit-identical
+        # keeps the packed-key quantum (bound/2^23) identical, so surviving
+        # rows keep their exact keys (recomputing from the bf16-rounded
+        # corpus would shift the quantum by ~1e-3 and swap near-ties)
+        self.ids = self.ids[keep]
+        self.metadata = [
+            m for m, k in zip(self.metadata, keep, strict=True) if k
+        ]
+        self._id_to_pos = {int(i): p for p, i in enumerate(self.ids)}
+        self._ids_dev = jnp.asarray(self.ids.astype(np.int32))
+        self._invalidate_compiled()
 
     # -- persistence ------------------------------------------------------
     def save(self, path: str | pathlib.Path) -> None:

@@ -18,9 +18,11 @@ from __future__ import annotations
 import json
 import logging
 import pathlib
+import threading
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from xfmr_rec_tpu.index.mips import RetrievalIndex
@@ -246,6 +248,9 @@ class RecommenderEngine:
                 {"params": params}, tokens, deterministic=True
             )
         )
+        # serializes live catalog mutations (add_items); the search path
+        # stays lock-free — mutations publish by atomic index swap
+        self._catalog_lock = threading.Lock()
         if warmup:
             # pre-compile the embed + search graphs so the first live
             # request doesn't pay jit latency (minutes on remote-compile
@@ -312,6 +317,106 @@ class RecommenderEngine:
 
     def process_item(self, item: ItemQuery) -> Query:
         return Query(text=item.movie_text)
+
+    def add_items(self, items: list[ItemQuery]) -> int:
+        """Add new items to the LIVE serving catalog (no repackage).
+
+        Encodes each item's text through the packaged tower, builds a
+        new `RetrievalIndex` over the appended corpus (device-side
+        concat for bf16/f32; int8 dequantizes through host once), and
+        **atomically swaps** `self.index` — searches in flight keep
+        their reference to the old index, searches issued after the
+        swap see the new catalog, no locks on the read path. The next
+        search pays one XLA recompile (the padded corpus length is a
+        compile-time constant), so batch updates. The reference's
+        equivalent is a wholesale LanceDB table rebuild
+        (data/lightning.py:183-235).
+
+        Only `index_kind="exact"` supports live updates: "ivf" and
+        "sharded" snapshot the corpus at load (cluster layout / mesh
+        shards) and pick up new items on the next boot from a
+        re-exported artifact. Fails loud on id collisions (no partial
+        adds). Concurrent add_items calls serialize on a writer lock.
+        Returns the number of items added.
+
+        Deletions are intentionally NOT offered on the live engine:
+        compaction shifts corpus positions, which cannot be published
+        atomically against the history tower's position cache. Soft-
+        delete via `exclude_item_ids`, or re-export the artifact
+        (`RetrievalIndex.remove_items` covers the offline path).
+        """
+        if self.index_kind != "exact":
+            msg = (
+                f"live catalog updates need index_kind='exact' "
+                f"(got {self.index_kind!r}: ivf/sharded snapshot the "
+                "corpus at load and rebuild on the next boot)"
+            )
+            raise RuntimeError(msg)
+        if not items:
+            return 0
+        with self._catalog_lock:
+            old = self.index
+            clashes = [
+                int(item.movie_id)
+                for item in items
+                if old.get_id(int(item.movie_id))
+            ]
+            if clashes:
+                msg = f"item ids already in the catalog: {clashes[:8]}"
+                raise ValueError(msg)
+            embeddings = self.embed(
+                [item.movie_text for item in items]
+            ).astype(np.float32)
+            ids = np.concatenate(
+                [old.ids, np.asarray([int(i.movie_id) for i in items])]
+            )
+            metadata = list(old.metadata) + [
+                {
+                    "movie_rn": int(item.movie_rn),
+                    "movie_id": int(item.movie_id),
+                    "movie_text": item.movie_text,
+                }
+                for item in items
+            ]
+            if old.dtype == "int8":
+                # the ctor re-quantizes from f32 (round-idempotent at
+                # the grid points, same rows byte-for-byte)
+                corpus = np.concatenate(
+                    [
+                        np.asarray(old.corpus, np.float32)
+                        * np.asarray(old._scales)[0][:, None],
+                        embeddings,
+                    ]
+                )
+            else:
+                corpus = jnp.concatenate(
+                    [old.corpus, jnp.asarray(embeddings, old.corpus.dtype)]
+                )
+            new_index = RetrievalIndex(
+                corpus,
+                ids,
+                metadata=metadata,
+                id_col=old.id_col,
+                dtype=old.dtype,
+                chunk_size=old.chunk_size,
+                method=old.method,
+                scan_kernel=old.scan_kernel,
+            )
+            if self._hist_corpus is not None:
+                # history gathers read (corpus, position) in that order:
+                # publish the grown corpus first, then the positions that
+                # point into it — append-only, so old positions stay valid
+                base = int(self._hist_corpus.shape[0])
+                self._hist_corpus = jnp.concatenate(
+                    [
+                        self._hist_corpus,
+                        jax.device_put(jnp.asarray(embeddings)),
+                    ]
+                )
+                for offset, item in enumerate(items):
+                    self._hist_pos_of_id[int(item.movie_id)] = base + offset
+            self.index = new_index
+        return len(items)
 
     # ------------------------------------------------------------------
     # user store

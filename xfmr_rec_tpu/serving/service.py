@@ -104,6 +104,22 @@ class RecService:
     def process_item(self, item: ItemQuery) -> Query:
         return self.engine.process_item(item)
 
+    def add_items(self, items: list[dict] | list[ItemQuery]) -> dict:
+        """Live catalog append: encode + index the new items in place.
+
+        Beyond the reference's endpoint surface (its catalog changes
+        need a repackage); kept admin-shaped — one batched call, fails
+        loud on id collisions, next search pays the recompile.
+        """
+        parsed = [
+            item
+            if isinstance(item, ItemQuery)
+            else ItemQuery.model_validate(item)
+            for item in items
+        ]
+        added = self.engine.add_items(parsed)
+        return {"added": added, "num_items": len(self.engine.index)}
+
     def recommend_with_item(
         self,
         item: ItemQuery,
@@ -273,6 +289,7 @@ _ENDPOINTS = {
     ),
     "item_id": (("item_id", None),),
     "process_item": (("item", ItemQuery),),
+    "add_items": (("items", None),),
     "recommend_with_item": (
         ("item", ItemQuery),
         ("exclude_item_ids", None),
