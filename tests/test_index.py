@@ -638,6 +638,28 @@ class TestMutableCatalog:
         with pytest.raises(ValueError, match="must align"):
             idx.add_items(extra[:2], [n + 1, n + 2], metadata=[{}])
 
+    def test_chunked_mutation_guard(self):
+        """Mutating a chunked dense index must fail at MUTATION time when
+        the new length is indivisible by chunk_size (the next search
+        would otherwise raise, leaving a live index unsearchable)."""
+        base, extra, queries = self._data()
+        n = len(base)  # 200; chunked path needs num_items % chunk == 0
+        chunk = len(extra)  # 40 divides 200 and 240
+        idx = RetrievalIndex(base, np.arange(1, n + 1), chunk_size=chunk)
+        with pytest.raises(ValueError, match="chunk_size"):
+            idx.add_items(extra[:1], [n + 1])
+        with pytest.raises(ValueError, match="chunk_size"):
+            idx.remove_items([1])
+        # index untouched and still searchable after the refusals
+        assert len(idx) == n
+        idx.search(queries, top_k=4)
+        # a divisible mutation is allowed
+        idx.add_items(
+            extra[:chunk], np.arange(n + 1, n + 1 + chunk)
+        )
+        assert len(idx) == n + chunk
+        idx.search(queries, top_k=4)
+
     def test_save_load_after_mutation(self, tmp_path):
         base, extra, queries = self._data()
         n = len(base)

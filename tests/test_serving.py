@@ -552,3 +552,58 @@ class TestMicroBatching:
         assert not batcher._worker.is_alive()
         with pytest.raises(RuntimeError, match="closed"):
             batcher.search_items('{"t":1}', top_k=3)
+
+
+class TestCatalogMutationGate:
+    """add_items is an admin operation: OFF by default on the serving
+    surface (ADVICE r3), and the engine rejects intra-batch duplicate
+    ids (the fresh index ctor would otherwise last-wins them)."""
+
+    def _new_item(self, i=900001):
+        from xfmr_rec_tpu.serving.schemas import ItemQuery
+
+        return ItemQuery(
+            movie_rn=0, movie_id=i, movie_text='{"title":"New (2026)"}'
+        )
+
+    def test_disabled_by_default(self, service):
+        with pytest.raises(PermissionError, match="disabled"):
+            service.add_items([self._new_item()])
+
+    def test_http_maps_gate_to_403(self, artifact):
+        svc = RecService(RecommenderEngine(artifact, warmup=False))
+        server = make_server(svc, host="127.0.0.1", port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            port = server.server_address[1]
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/add_items",
+                data=json.dumps(
+                    {"items": [self._new_item().model_dump()]}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as err:
+                urllib.request.urlopen(req, timeout=10)
+            assert err.value.code == 403
+        finally:
+            server.shutdown()
+            server.server_close()
+
+    def test_enabled_flag_allows(self, artifact):
+        svc = RecService(
+            RecommenderEngine(artifact, warmup=False),
+            allow_catalog_mutation=True,
+        )
+        out = svc.add_items([self._new_item(900002)])
+        assert out["added"] == 1
+        assert svc.item_id(900002).movie_id == 900002
+
+    def test_engine_rejects_intra_batch_duplicates(self, artifact):
+        engine = RecommenderEngine(artifact, warmup=False)
+        before = len(engine.index)
+        dupe = self._new_item(900003)
+        with pytest.raises(ValueError, match="duplicate ids"):
+            engine.add_items([dupe, dupe])
+        assert len(engine.index) == before

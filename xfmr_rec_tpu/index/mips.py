@@ -953,6 +953,26 @@ class RetrievalIndex(CorpusMetadata):
             self.__dict__.pop(attr, None)
         self._build_search_fn()
 
+    def _check_mutated_length(self, new_len: int) -> None:
+        """Fail loud at MUTATION time when a chunked dense index would be
+        left unsearchable: `exact_topk` requires num_items % chunk_size == 0
+        (mips.py:79-81, only enforced when chunk_size < num_items), so an
+        indivisible post-mutation length would succeed here and then raise
+        on the next search. Batch adds/removes in multiples of chunk_size,
+        or rebuild with chunk_size=None."""
+        if (
+            self.chunk_size is not None
+            and new_len > self.chunk_size
+            and new_len % self.chunk_size != 0
+        ):
+            msg = (
+                f"mutation would leave {new_len} items, not divisible by "
+                f"chunk_size={self.chunk_size}; the next chunked search "
+                "would fail. Batch mutations to a multiple of chunk_size "
+                "or rebuild the index with chunk_size=None."
+            )
+            raise ValueError(msg)
+
     def add_items(
         self,
         embeddings: np.ndarray,
@@ -1000,6 +1020,7 @@ class RetrievalIndex(CorpusMetadata):
         if clashes:
             msg = f"ids already in the index: {clashes[:8]}"
             raise ValueError(msg)
+        self._check_mutated_length(len(self.ids) + len(new_ids))
         if self.dtype == "int8":
             scale = np.maximum(np.abs(emb).max(axis=1) / 127.0, 1e-12)
             quant = np.clip(
@@ -1049,6 +1070,7 @@ class RetrievalIndex(CorpusMetadata):
             raise ValueError(msg)
         if not drop:
             return
+        self._check_mutated_length(len(self.ids) - len(drop))
         keep = np.array(
             [int(i) not in drop for i in self.ids], dtype=bool
         )

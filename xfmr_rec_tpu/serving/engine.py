@@ -354,13 +354,16 @@ class RecommenderEngine:
             raise RuntimeError(msg)
         if not items:
             return 0
+        new_ids = [int(item.movie_id) for item in items]
+        if len(set(new_ids)) != len(new_ids):
+            dupes = sorted(
+                {i for i in new_ids if new_ids.count(i) > 1}
+            )
+            msg = f"duplicate ids within the added batch: {dupes[:8]}"
+            raise ValueError(msg)
         with self._catalog_lock:
             old = self.index
-            clashes = [
-                int(item.movie_id)
-                for item in items
-                if old.get_id(int(item.movie_id))
-            ]
+            clashes = [i for i in new_ids if old.get_id(i)]
             if clashes:
                 msg = f"item ids already in the catalog: {clashes[:8]}"
                 raise ValueError(msg)
@@ -368,7 +371,7 @@ class RecommenderEngine:
                 [item.movie_text for item in items]
             ).astype(np.float32)
             ids = np.concatenate(
-                [old.ids, np.asarray([int(i.movie_id) for i in items])]
+                [old.ids, np.asarray(new_ids)]
             )
             metadata = list(old.metadata) + [
                 {

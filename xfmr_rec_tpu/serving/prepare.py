@@ -101,13 +101,16 @@ def main(
     port: int = 8000,
     index_kind: str = "exact",
     nprobe: int = 8,
+    allow_catalog_mutation: bool = False,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     path = pathlib.Path(artifact_dir)
     if not (path / "processors.json").exists():
         prepare_artifact(path)
     engine = RecommenderEngine(path, index_kind=index_kind, nprobe=nprobe)
-    service = RecService(engine)
+    service = RecService(
+        engine, allow_catalog_mutation=allow_catalog_mutation
+    )
     test_queries(service)
     if serve:
         from xfmr_rec_tpu.serving.service import serve_forever
@@ -128,6 +131,12 @@ if __name__ == "__main__":
         "(ANN), or exact sharded over the device mesh",
     )
     parser.add_argument("--nprobe", type=int, default=8)
+    parser.add_argument(
+        "--allow-catalog-mutation", action="store_true",
+        help="expose the add_items live-catalog endpoint (admin surface; "
+        "off by default — any client of the port could otherwise mutate "
+        "the catalog and force recompiles)",
+    )
     args = parser.parse_args()
     main(
         args.artifact_dir,
@@ -135,4 +144,5 @@ if __name__ == "__main__":
         port=args.port,
         index_kind=args.index_kind,
         nprobe=args.nprobe,
+        allow_catalog_mutation=args.allow_catalog_mutation,
     )

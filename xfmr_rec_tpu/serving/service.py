@@ -44,14 +44,22 @@ class RecService:
         *,
         micro_batch: int | None = None,
         micro_batch_wait_ms: float = 5.0,
+        allow_catalog_mutation: bool = False,
     ) -> None:
         """`micro_batch`: when set, concurrent text-query searches
         coalesce into batched device dispatches of up to this size
         (the reference's BentoML adaptive-batching property — see
         serving/batching.py). Queries carrying a precomputed embedding
-        bypass the batcher."""
+        bypass the batcher.
+
+        `allow_catalog_mutation`: the `add_items` endpoint mutates the
+        live catalog (and forces an XLA recompile), so it is OFF by
+        default on the unauthenticated serving surface — start the
+        service with this flag (CLI: --allow-catalog-mutation) to
+        enable it on an admin deployment."""
         self.engine = engine
         self._version = model_version_str
+        self.allow_catalog_mutation = allow_catalog_mutation
         self.batcher = None
         if micro_batch:
             from xfmr_rec_tpu.serving.batching import MicroBatcher
@@ -109,8 +117,18 @@ class RecService:
 
         Beyond the reference's endpoint surface (its catalog changes
         need a repackage); kept admin-shaped — one batched call, fails
-        loud on id collisions, next search pays the recompile.
+        loud on id collisions, next search pays the recompile. Gated:
+        requires the service to be started with
+        allow_catalog_mutation=True (any client of the serving port
+        could otherwise grow the catalog / force recompiles at will).
         """
+        if not self.allow_catalog_mutation:
+            msg = (
+                "add_items is disabled: start the service with "
+                "allow_catalog_mutation=True (--allow-catalog-mutation) "
+                "to expose live catalog mutation"
+            )
+            raise PermissionError(msg)
         parsed = [
             item
             if isinstance(item, ItemQuery)
@@ -367,6 +385,10 @@ class _Handler(BaseHTTPRequestHandler):
             response = {"error": f"unknown endpoint {endpoint}"}
         except NotFoundError as exc:
             status, response = 404, {"error": str(exc)}
+        except PermissionError as exc:
+            # disabled admin endpoints (add_items without
+            # allow_catalog_mutation) are a client error, not a 500
+            status, response = 403, {"error": str(exc)}
         except Exception as exc:  # noqa: BLE001 — error boundary
             # NB: a KeyError from INSIDE a service method lands here (500
             # + logged traceback), not in the unknown-endpoint 404 above
