@@ -75,6 +75,14 @@ class DataConfig(pydantic.BaseModel):
     # semantics are used here so the training-time input distribution
     # matches the serving-time one exactly.
     max_history: int = 0
+    # CF-bag inputs (models/history.py _bag_vec): 0 = off. When > 0,
+    # every train/eval batch carries the user's full train history (up
+    # to max_bag items, most-recent-first) as movie_rn + rating arrays
+    # for the ID-table bag slot. Train rows mask the row's OWN positive
+    # out of its bag (FISM/SVD++ convention: the bag is otherwise the
+    # full train set, which is exactly the serving-time input — holdout
+    # items can never appear in a train bag under the temporal split).
+    max_bag: int = 0
     seed: int = 0
     # offline fallback: generate a synthetic corpus when raw data is absent
     synthetic_if_missing: bool = True
@@ -269,6 +277,8 @@ class RecDataModule:
 
         if cfg.max_history > 0:
             self._build_history_arrays()
+        if cfg.max_bag > 0:
+            self._build_bag_arrays()
 
         pos_rows = [
             np.asarray(train_items_by_user.get(u, []), dtype=np.int64) + 1
@@ -404,6 +414,29 @@ class RecDataModule:
             self.user_hist_pos[upos, :take] = items[::-1][:take]
             self.user_hist_rating[upos, :take] = ratings[::-1][:take]
 
+    def _build_bag_arrays(self) -> None:
+        """Per-user CF-bag tables: the user's most recent `max_bag` train
+        interactions (item positions + integer ratings), most-recent-
+        first, -1/-0 padded — the FISM/SVD++ user-factor input. One
+        user-level table serves train AND eval rows: train assembly
+        masks the row's own positive out (`_assemble_loss_batch`), and
+        the full bag IS the causal input at holdout time."""
+        width = self.config.max_bag
+        self.user_bag_pos = np.full((self.num_users, width), -1, np.int64)
+        self.user_bag_rating = np.zeros((self.num_users, width), np.int32)
+        num_rows = len(self.train_user_pos)
+        if num_rows == 0:
+            return
+        boundaries = np.flatnonzero(np.diff(self.train_user_pos) != 0) + 1
+        for block in np.split(np.arange(num_rows), boundaries):
+            upos = int(self.train_user_pos[block[0]])
+            items = self.train_item_pos[block][::-1][:width]
+            ratings = self.train_rating[block].astype(np.int32)[::-1][
+                :width
+            ]
+            self.user_bag_pos[upos, : len(items)] = items
+            self.user_bag_rating[upos, : len(ratings)] = ratings
+
     def train_history_item_ids(self, user_pos: int) -> list[int]:
         """Item IDS of one user's train-half interactions (the
         recommend-time exclusion set — reference lightning.py:89-90).
@@ -494,6 +527,16 @@ class RecDataModule:
             batch["hist_tokens"] = tokens.astype(self.item_tokens.dtype)
             batch["hist_mask"] = mask
             batch["hist_ratings"] = hist_rating
+            # movie_rn of each history slot (position + 1; 0 = padded)
+            batch["hist_rns"] = ((hist_pos + 1) * mask).astype(np.int32)
+        if self.config.max_bag > 0:
+            bag_pos = self.user_bag_pos[upos]  # (B, G)
+            # mask padding AND the row's own positive (FISM convention:
+            # the bag must not contain the answer it is scored against)
+            bag_mask = (bag_pos >= 0) & (bag_pos != ipos[:, None])
+            batch["bag_rns"] = ((bag_pos + 1) * bag_mask).astype(np.int32)
+            batch["bag_ratings"] = self.user_bag_rating[upos]
+            batch["bag_mask"] = bag_mask
         return batch
 
     def train_batches(self, epoch: int = 0) -> Iterator[dict[str, np.ndarray]]:
@@ -625,4 +668,12 @@ class RecDataModule:
                 out["hist_positions"] = np.maximum(hist_pos, 0)
                 out["hist_mask"] = hist_pos >= 0
                 out["hist_ratings"] = self.user_hist_rating[take]
+            if cfg.max_bag > 0:
+                bag_pos = self.user_bag_pos[take]
+                bag_mask = bag_pos >= 0
+                out["bag_rns"] = ((bag_pos + 1) * bag_mask).astype(
+                    np.int32
+                )
+                out["bag_ratings"] = self.user_bag_rating[take]
+                out["bag_mask"] = bag_mask
             yield out

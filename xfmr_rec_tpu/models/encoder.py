@@ -81,6 +81,45 @@ class ModelConfig(pydantic.BaseModel):
     max_history: int = 16
     history_layers: int = 1
     use_history_ratings: bool = True
+    # --- item identity channels (the README-promised hash/Bloom tables
+    # applied at the ITEM level — reference README.md:33-36). The
+    # reference's "matrix factorization" is a dual encoder over feature
+    # text with no ID tables at all (SURVEY §0); these channels add the
+    # collaborative-filtering signal its towers cannot express:
+    # item_id_embedding: a per-item embedding keyed by movie_rn summed
+    #   into the item tower pre-normalize ("bloom" = multi-hash bucket
+    #   sum, "hash" = importance-weighted, "dense" = direct table; rn 0
+    #   = padding/unknown contributes exactly zero).
+    item_id_embedding: Literal["none", "bloom", "hash", "dense"] = "none"
+    item_id_buckets: int = 8192
+    item_id_hashes: int = 2
+    # item_bias: a learned per-item popularity scalar appended as an
+    #   extra scoring column — item vectors become (d+1) with the bias,
+    #   user/query vectors append a constant 1, so every dot-product
+    #   scorer (losses, MIPS index, serving) picks up score = dot + b_i
+    #   with zero kernel changes.
+    item_bias: bool = False
+    # max_bag: >0 adds a CF "bag" fusion slot for the history user
+    #   tower: the mean of item-ID embeddings over the user's full
+    #   train history (up to max_bag items, most-recent-first) —
+    #   FISM/SVD++-style user factors, cheap because the bag lives in
+    #   the ID table (no text encode). Train rows mask the row's own
+    #   positive out of its bag. Requires user_tower="history" and
+    #   item_id_embedding != "none".
+    max_bag: int = 0
+    # learned per-rating-level weights on bag items (liked vs disliked
+    # history enters the bag with different learned magnitude/sign)
+    bag_rating_weights: bool = True
+
+    @pydantic.model_validator(mode="after")
+    def _check_item_channels(self) -> "ModelConfig":
+        if self.max_bag > 0 and self.user_tower != "history":
+            msg = "max_bag > 0 requires user_tower='history' (fusion slot)"
+            raise ValueError(msg)
+        if self.max_bag > 0 and self.item_id_embedding == "none":
+            msg = "max_bag > 0 requires item_id_embedding (the bag IS the ID table)"
+            raise ValueError(msg)
+        return self
 
 
 def l2_normalize(x: "Array") -> "Array":

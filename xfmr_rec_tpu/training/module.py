@@ -77,9 +77,9 @@ def create_train_state(
     if isinstance(rng, int):
         rng = jax.random.PRNGKey(rng)
     params_rng, dropout_rng = jax.random.split(rng)
-    if config.user_tower == "history":
-        from xfmr_rec_tpu.models.history import init_two_tower
+    from xfmr_rec_tpu.models.history import init_two_tower, needs_two_tower
 
+    if needs_two_tower(config):
         model, params = init_two_tower(config, params_rng)
     else:
         model, params = init_encoder(config, params_rng)
@@ -127,23 +127,40 @@ def compute_batch_losses(
     dropout_rng: Array | None = None,
 ) -> dict[str, Array]:
     """Encode the three towers in one pass and run the full loss family."""
+    from xfmr_rec_tpu.models.history import needs_two_tower, uses_item_ids
+
     batch_size = batch["user_tokens"].shape[0]
     deterministic = dropout_rng is None
     rngs = None if deterministic else {"dropout": dropout_rng}
-    if config.user_tower == "history":
-        # one text pass over user + pos + neg + history rows, then the
-        # fusion block (models/history.py train_embeds)
+    if needs_two_tower(config):
+        # one text pass over user + pos + neg (+ history) rows, then the
+        # identity channels / fusion block (models/history.py train_embeds)
+        kwargs = {}
+        if config.user_tower == "history":
+            kwargs.update(
+                hist_tokens=batch["hist_tokens"],
+                hist_mask=batch["hist_mask"],
+                hist_ratings=batch["hist_ratings"],
+            )
+            if uses_item_ids(config):
+                kwargs["hist_rns"] = batch["hist_rns"]
+        if uses_item_ids(config):
+            kwargs["item_rns"] = batch["item_idx"].astype(jnp.int32)
+        if config.max_bag > 0:
+            kwargs.update(
+                bag_rns=batch["bag_rns"],
+                bag_ratings=batch["bag_ratings"],
+                bag_mask=batch["bag_mask"],
+            )
         user_embed, item_embed = apply_fn(
             {"params": params},
             batch["user_tokens"],
             batch["item_tokens"],
             batch["neg_item_tokens"],
-            batch["hist_tokens"],
-            batch["hist_mask"],
-            batch["hist_ratings"],
             deterministic=deterministic,
             rngs=rngs,
             method="train_embeds",
+            **kwargs,
         )
     else:
         tokens = jnp.concatenate(
@@ -220,6 +237,22 @@ def make_encode_fn(model: TextEncoder):
     return encode
 
 
+def make_item_encode_fn(model):
+    """Item-tower encoding with identity channels (TwoTowerModel):
+    text + ID embedding (re-normalized) + appended bias column."""
+
+    def encode_items(params: Any, tokens: Array, rns: Array) -> Array:
+        return model.apply(
+            {"params": params},
+            tokens,
+            rns,
+            deterministic=True,
+            method="encode_items",
+        )
+
+    return encode_items
+
+
 def make_user_encode_fn(model):
     """Eval/serving user tower for the history model.
 
@@ -234,10 +267,13 @@ def make_user_encode_fn(model):
     def encode_users(
         params: Any,
         user_tokens: Array,  # (B, L)
-        corpus: Array,  # (N, d) f32 item embeddings
+        corpus: Array,  # (N, d) f32 item embeddings (d-dim, no bias col)
         hist_positions: Array,  # (B, H) int, padded slots clipped to 0
         hist_mask: Array,  # (B, H) bool
         hist_ratings: Array,  # (B, H) int
+        bag_rns: Array | None = None,  # (B, G)
+        bag_ratings: Array | None = None,
+        bag_mask: Array | None = None,
     ) -> Array:
         text_emb = model.apply(
             {"params": params}, user_tokens, deterministic=True
@@ -249,6 +285,9 @@ def make_user_encode_fn(model):
             hist_embs,
             hist_mask,
             hist_ratings,
+            bag_rns,
+            bag_ratings,
+            bag_mask,
             deterministic=True,
             method="fuse_user",
         )

@@ -37,12 +37,14 @@ from xfmr_rec_tpu.data.module import DataConfig, RecDataModule
 from xfmr_rec_tpu.index.mips import RetrievalIndex, exact_topk
 from xfmr_rec_tpu.params import METRIC, PROCESSORS_JSON
 from xfmr_rec_tpu.training.metrics import retrieval_metrics
+from xfmr_rec_tpu.models.history import uses_item_ids
 from xfmr_rec_tpu.training.module import (
     TrainConfig,
     TrainState,
     create_train_state,
     make_encode_fn,
     make_eval_loss_step,
+    make_item_encode_fn,
     make_train_step,
     make_user_encode_fn,
 )
@@ -101,6 +103,7 @@ class Trainer:
         self.state: TrainState | None = None
         self._train_step = None
         self._encode = None
+        self._encode_items = None
         self._encode_user = None
         self._eval_step = None
         self._corpus_f32 = None
@@ -116,21 +119,27 @@ class Trainer:
     def setup(self) -> None:
         if self.state is not None:
             return
+        # the data module must emit history/bag fields at the model's
+        # widths; sync before setup (or fail loudly on a mismatch with
+        # an already-built data module)
+        sync_fields: dict[str, int] = {}
         if self.config.user_tower == "history":
-            # the data module must emit history fields at the model's
-            # width; sync before setup (or fail loudly on a mismatch with
-            # an already-built data module)
+            sync_fields["max_history"] = self.config.max_history
+        if self.config.max_bag > 0:
+            sync_fields["max_bag"] = self.config.max_bag
+        if sync_fields:
             if self.data._ready:
-                if self.data.config.max_history != self.config.max_history:
-                    msg = (
-                        "history tower needs data.max_history == "
-                        f"model.max_history ({self.data.config.max_history} "
-                        f"!= {self.config.max_history})"
-                    )
-                    raise ValueError(msg)
+                for field, value in sync_fields.items():
+                    if getattr(self.data.config, field) != value:
+                        msg = (
+                            f"model needs data.{field} == {value} "
+                            f"(data module built with "
+                            f"{getattr(self.data.config, field)})"
+                        )
+                        raise ValueError(msg)
             else:
                 self.data.config = self.data.config.model_copy(
-                    update={"max_history": self.config.max_history}
+                    update=sync_fields
                 )
         self.data.prepare_data()
         self.data.setup()
@@ -151,6 +160,19 @@ class Trainer:
             self.config = self.config.model_copy(
                 update={"total_steps": max(int(planned), 1)}
             )
+        if self.config.item_id_embedding == "dense":
+            max_rn = (
+                int(self.data.item_rns.max())
+                if len(self.data.item_rns)
+                else 0
+            )
+            if max_rn >= self.config.item_id_buckets:
+                msg = (
+                    "dense item_id_embedding needs item_id_buckets > max "
+                    f"movie_rn ({self.config.item_id_buckets} <= {max_rn})"
+                    " — raise item_id_buckets or use bloom/hash"
+                )
+                raise ValueError(msg)
         self.model, self.state = create_train_state(
             self.config, rng=self.trainer_config.seed
         )
@@ -190,18 +212,27 @@ class Trainer:
                 in_shardings=(replicated, sharded_rows),
                 out_shardings=replicated,
             )
+            sharded_any = NamedSharding(self.mesh, P(batch_spec()[0]))
+            if uses_item_ids(self.config):
+                self._encode_items = jax.jit(
+                    make_item_encode_fn(self.model),
+                    in_shardings=(replicated, sharded_rows, sharded_any),
+                    out_shardings=replicated,
+                )
             if self.config.user_tower == "history":
-                sharded_any = NamedSharding(self.mesh, P(batch_spec()[0]))
+                user_in = [
+                    replicated,
+                    sharded_rows,
+                    replicated,
+                    sharded_any,
+                    sharded_any,
+                    sharded_any,
+                ]
+                if self.config.max_bag > 0:
+                    user_in += [sharded_any, sharded_any, sharded_any]
                 self._encode_user = jax.jit(
                     make_user_encode_fn(self.model),
-                    in_shardings=(
-                        replicated,
-                        sharded_rows,
-                        replicated,
-                        sharded_any,
-                        sharded_any,
-                        sharded_any,
-                    ),
+                    in_shardings=tuple(user_in),
                     out_shardings=replicated,
                 )
         else:
@@ -210,6 +241,10 @@ class Trainer:
             )
             self._eval_step = jax.jit(make_eval_loss_step(self.config))
             self._encode = jax.jit(make_encode_fn(self.model))
+            if uses_item_ids(self.config):
+                self._encode_items = jax.jit(
+                    make_item_encode_fn(self.model)
+                )
             if self.config.user_tower == "history":
                 self._encode_user = jax.jit(make_user_encode_fn(self.model))
         self.logger.log_hyperparams(
@@ -326,7 +361,11 @@ class Trainer:
         return out[:-pad] if pad else out
 
     def _encode_rows(
-        self, tokens: np.ndarray, *, as_numpy: bool = True
+        self,
+        tokens: np.ndarray,
+        *,
+        rns: np.ndarray | None = None,
+        as_numpy: bool = True,
     ) -> np.ndarray:
         """Encode a token matrix in fixed-size batches (pad last batch).
 
@@ -350,7 +389,17 @@ class Trainer:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, chunk.shape[1]), chunk.dtype)]
                 )
-            out = self._encode(self.state.params, chunk)
+            if rns is not None:
+                rn_chunk = rns[start : start + batch].astype(np.int32)
+                if pad:
+                    rn_chunk = np.concatenate(
+                        [rn_chunk, np.zeros(pad, np.int32)]
+                    )
+                out = self._encode_items(
+                    self.state.params, chunk, rn_chunk
+                )
+            else:
+                out = self._encode(self.state.params, chunk)
             outs.append(out[: batch - pad] if pad else out)
         if not outs:
             return np.zeros((0, self.config.hidden_size), np.float32)
@@ -366,12 +415,23 @@ class Trainer:
         """
         corpus = self._encode_rows(
             self.data.item_tokens,
+            rns=(
+                self.data.item_rns
+                if uses_item_ids(self.config)
+                else None
+            ),
             as_numpy=self.config.index_dtype == "int8",
         )
         if self.config.user_tower == "history":
             # the history user tower gathers its history-item embeddings
-            # from this exact matrix (full precision, on device)
-            self._corpus_f32 = jnp.asarray(corpus, dtype=jnp.float32)
+            # from this exact matrix (full precision, on device); with a
+            # bias column the fusion consumes the d-dim part only
+            corpus_f32 = jnp.asarray(corpus, dtype=jnp.float32)
+            self._corpus_f32 = (
+                corpus_f32[:, : self.config.hidden_size]
+                if self.config.item_bias
+                else corpus_f32
+            )
         metadata = [
             {"movie_text": text, "movie_rn": int(rn)}
             for text, rn in zip(self.data.item_texts, self.data.item_rns)
@@ -406,34 +466,41 @@ class Trainer:
     def _eval_user_embeds(self, batch: dict) -> np.ndarray:
         """User embeddings for one eval batch: plain text encode, or —
         history tower — text encode + fusion over history embeddings
-        gathered from the freshly built corpus matrix."""
+        gathered from the freshly built corpus matrix (+ the CF bag
+        slot). With item_bias the user vectors carry the constant-1
+        column pairing the corpus bias column."""
         if self.config.user_tower != "history":
-            return self._encode_tokens(batch["user_tokens"])
+            out = np.asarray(self._encode_tokens(batch["user_tokens"]))
+            if self.config.item_bias:
+                out = np.concatenate(
+                    [out, np.ones((len(out), 1), out.dtype)], axis=1
+                )
+            return out
         tokens = batch["user_tokens"]
-        hist_pos = batch["hist_positions"].astype(np.int32)
-        hist_mask = batch["hist_mask"].astype(bool)
-        hist_rat = batch["hist_ratings"].astype(np.int32)
+        extras = [
+            batch["hist_positions"].astype(np.int32),
+            batch["hist_mask"].astype(bool),
+            batch["hist_ratings"].astype(np.int32),
+        ]
+        if self.config.max_bag > 0:
+            extras += [
+                batch["bag_rns"].astype(np.int32),
+                batch["bag_ratings"].astype(np.int32),
+                batch["bag_mask"].astype(bool),
+            ]
         pad = -len(tokens) % (self.mesh.size if self.mesh else 1)
         if pad:
             tokens = np.concatenate(
                 [tokens, np.zeros((pad, tokens.shape[1]), tokens.dtype)]
             )
-            hist_pos = np.concatenate(
-                [hist_pos, np.zeros((pad, hist_pos.shape[1]), hist_pos.dtype)]
-            )
-            hist_mask = np.concatenate(
-                [hist_mask, np.zeros((pad, hist_mask.shape[1]), bool)]
-            )
-            hist_rat = np.concatenate(
-                [hist_rat, np.zeros((pad, hist_rat.shape[1]), hist_rat.dtype)]
-            )
+            extras = [
+                np.concatenate(
+                    [arr, np.zeros((pad, arr.shape[1]), arr.dtype)]
+                )
+                for arr in extras
+            ]
         out = self._encode_user(
-            self.state.params,
-            tokens,
-            self._corpus_f32,
-            hist_pos,
-            hist_mask,
-            hist_rat,
+            self.state.params, tokens, self._corpus_f32, *extras
         )
         return np.asarray(out[:-pad] if pad else out)
 
@@ -613,6 +680,11 @@ class Trainer:
         if self.index is None:
             self.build_index()
         embeds = self.embed_texts(texts)
+        if self.config.item_bias:
+            # raw text queries score as dot + b_i via the constant-1 col
+            embeds = np.concatenate(
+                [embeds, np.ones((len(embeds), 1), embeds.dtype)], axis=1
+            )
         scores, item_ids = self.index.search(
             embeds, top_k=top_k or self.config.top_k, exclude_ids=exclude_ids
         )
@@ -631,6 +703,12 @@ class Trainer:
             batch["hist_positions"] = np.maximum(hist_pos, 0)
             batch["hist_mask"] = hist_pos >= 0
             batch["hist_ratings"] = self.data.user_hist_rating[user_pos]
+        if self.config.max_bag > 0:
+            bag_pos = self.data.user_bag_pos[user_pos]
+            bag_mask = bag_pos >= 0
+            batch["bag_rns"] = ((bag_pos + 1) * bag_mask).astype(np.int32)
+            batch["bag_ratings"] = self.data.user_bag_rating[user_pos]
+            batch["bag_mask"] = bag_mask
         return self._eval_user_embeds(batch)
 
     def recommend_users(
