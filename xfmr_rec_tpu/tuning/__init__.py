@@ -1,5 +1,6 @@
 """Hyperparameter search: adaptive sampling + successive halving."""
 
+from xfmr_rec_tpu.tuning.executor import TrialExecutor, worker_device_env
 from xfmr_rec_tpu.tuning.hpo import (
     AdaptiveSampler,
     PlateauStopper,
@@ -13,7 +14,9 @@ __all__ = [
     "AdaptiveSampler",
     "PlateauStopper",
     "SearchSpace",
+    "TrialExecutor",
     "TuneResult",
     "tune",
     "tune_adaptive",
+    "worker_device_env",
 ]

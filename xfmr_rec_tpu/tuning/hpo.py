@@ -14,12 +14,16 @@ Capability parity with the reference's two HPO drivers
   (flaml.py:87-100), and `PlateauStopper` standing in for Ray's
   ExperimentPlateauStopper (ray.py:170-177).
 
-The driver is a single-process successive-halving loop (the TPU is one
-device; trial parallelism buys nothing) with a wall-clock budget, JSONL
+The driver is a successive-halving loop with a wall-clock budget, JSONL
 trial log, and best-trial summary. `tune()` runs one synchronous SHA
 bracket over a fixed config list; `tune_adaptive()` chains brackets,
 feeding each bracket's results back into the sampler and stopping on
-plateau.
+plateau. Trials run sequentially in-process by default, or concurrently
+across device-pinned worker processes via `--workers N` /
+`executor=TrialExecutor(...)` (tuning/executor.py) — the parity answer
+to Ray Tune's parallel TorchTrainer workers (ray.py:105-191); on a pod
+slice each worker owns a disjoint chip subset, on this bench host's
+single chip it degenerates to one worker.
 """
 
 from __future__ import annotations
@@ -234,6 +238,7 @@ def tune(
     include_default_point: bool = True,
     configs: list[dict[str, Any]] | None = None,
     first_trial_id: int = 0,
+    executor: Any | None = None,
 ) -> TuneResult:
     """Successive halving over sampled (or explicitly given) configs.
 
@@ -241,6 +246,13 @@ def tune(
     limit_train_batches=resource and returns the val metric dict.
     Passing `configs` skips sampling — used by `tune_adaptive` to run
     one SHA bracket over sampler proposals.
+
+    With `executor` (a tuning.executor.TrialExecutor), every trial of a
+    rung is dispatched concurrently to device-pinned worker processes —
+    the reference's Ray Tune trial parallelism (ray.py:105-191). The
+    rung barrier means results at fixed seeds match the sequential
+    loop; `evaluate` is then unused and may be None. The time budget is
+    checked at rung boundaries (a dispatched rung runs to completion).
     """
     space = space or SearchSpace()
     rng = np.random.default_rng(seed)
@@ -273,29 +285,43 @@ def tune(
     ]
     next_id = first_trial_id + len(active)
     resource = min_resource
+
+    def record(trial: Trial, metrics: dict[str, float], seconds: float) -> None:
+        trial.resource = resource
+        trial.metrics = metrics
+        trial.metric = metrics.get(metric_name, -math.inf)
+        trial.seconds = seconds
+        trials.append(dataclasses.replace(trial))
+        if log_file:
+            log_file.write(json.dumps(dataclasses.asdict(trial)) + "\n")
+            log_file.flush()
+        logger.info(
+            "trial %d resource=%.4f metric=%.4f config=%s",
+            trial.trial_id, resource, trial.metric, trial.config,
+        )
+
     while active:
-        for trial in active:
+        if executor is not None:
             if out_of_budget():
                 logger.info("time budget exhausted")
-                break
-            t0 = time.time()
-            try:
-                metrics = evaluate(trial.config, resource)
-            except Exception:  # noqa: BLE001 — a failing trial is a data point
-                logger.exception("trial %d failed", trial.trial_id)
-                metrics = {}
-            trial.resource = resource
-            trial.metrics = metrics
-            trial.metric = metrics.get(metric_name, -math.inf)
-            trial.seconds = time.time() - t0
-            trials.append(dataclasses.replace(trial))
-            if log_file:
-                log_file.write(json.dumps(dataclasses.asdict(trial)) + "\n")
-                log_file.flush()
-            logger.info(
-                "trial %d resource=%.4f metric=%.4f config=%s",
-                trial.trial_id, resource, trial.metric, trial.config,
-            )
+            else:
+                outcomes = executor.run(
+                    [(t.trial_id, t.config, resource) for t in active]
+                )
+                for trial, outcome in zip(active, outcomes):
+                    record(trial, outcome.metrics, outcome.seconds)
+        else:
+            for trial in active:
+                if out_of_budget():
+                    logger.info("time budget exhausted")
+                    break
+                t0 = time.time()
+                try:
+                    metrics = evaluate(trial.config, resource)
+                except Exception:  # noqa: BLE001 — a failing trial is a data point
+                    logger.exception("trial %d failed", trial.trial_id)
+                    metrics = {}
+                record(trial, metrics, time.time() - t0)
         if out_of_budget() or resource >= max_resource:
             break
         # promote the top 1/reduction_factor to the next rung
@@ -328,6 +354,7 @@ def tune_adaptive(
     sampler: AdaptiveSampler | None = None,
     plateau: PlateauStopper | None = None,
     include_default_point: bool = True,
+    executor: Any | None = None,
 ) -> TuneResult:
     """Adaptive SHA: brackets of sampler proposals, stop on plateau.
 
@@ -376,6 +403,7 @@ def tune_adaptive(
             log_path=log_path,
             configs=configs,
             first_trial_id=len(trials),
+            executor=executor,
         )
         for trial in result.trials:
             sampler.observe(trial.config, trial.metric)
@@ -476,6 +504,21 @@ def main() -> None:
         help="comma-separated train-loss registry names to search instead "
         "of the reference FLAML set (adaptive sampler only)",
     )
+    parser.add_argument(
+        "--workers", type=int, default=1,
+        help="concurrent trial workers, each a process pinned to a "
+        "disjoint device subset (Ray Tune parity); 1 = in-process "
+        "sequential loop",
+    )
+    parser.add_argument(
+        "--worker_platform", default="cpu", choices=("cpu", "tpu"),
+        help="device platform the trial workers pin to",
+    )
+    parser.add_argument(
+        "--devices_per_worker", type=int, default=1,
+        help="devices in each worker's subset (cpu: virtual mesh size; "
+        "tpu: chips per worker)",
+    )
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -495,6 +538,21 @@ def main() -> None:
         base_data={"data_dir": args.data_dir},
         base_trainer={"log_dir": "runs/tune"},
     )
+    executor = None
+    if args.workers > 1:
+        from xfmr_rec_tpu.tuning.executor import TrialExecutor
+
+        executor = TrialExecutor(
+            {
+                "kind": "trainer",
+                "base_model": base_model,
+                "base_data": {"data_dir": args.data_dir},
+                "base_trainer": {"log_dir": "runs/tune"},
+            },
+            workers=args.workers,
+            platform=args.worker_platform,
+            devices_per_worker=args.devices_per_worker,
+        )
     if args.random:
         result = tune(
             evaluate,
@@ -502,6 +560,7 @@ def main() -> None:
             time_budget_s=args.time_budget_s,
             log_path=args.log_path,
             seed=args.seed,
+            executor=executor,
         )
     else:
         losses = (
@@ -532,7 +591,10 @@ def main() -> None:
             sampler=sampler,
             plateau=PlateauStopper(patience=args.plateau_patience),
             include_default_point=warm == 0,
+            executor=executor,
         )
+    if executor is not None:
+        executor.shutdown()
     best = result.best_trial
     if not math.isfinite(best.metric):
         msg = (
