@@ -71,7 +71,11 @@ def main(data_dir: str = "data/ml1m") -> None:
     cos = co / deg[:, None] / deg[None, :]
 
     def evaluate(score_fn, name):
+        # binary NDCG (the round-3 probe convention) AND graded NDCG
+        # (ratings as gains — the trainer's torchmetrics convention), so
+        # probe ceilings are directly comparable to trainer val metrics
         ndcgs = []
+        graded = []
         for batch in dm.eval_batches("val"):
             upos = batch["user_pos"]
             valid = batch["valid"]
@@ -83,10 +87,16 @@ def main(data_dir: str = "data/ml1m") -> None:
                 scores[i, e] = -1e9
             top = np.argsort(-scores, axis=1)[:, :TOPK]
             tid = batch["target_ids"]
+            trat = batch["target_ratings"]
             for i in range(len(upos)):
                 if not valid[i]:
                     continue
                 tset = {pos_of_id[int(x)] for x in tid[i] if int(x) != 0}
+                rating_of = {
+                    pos_of_id[int(x)]: float(r)
+                    for x, r in zip(tid[i], trat[i])
+                    if int(x) != 0
+                }
                 if not tset:
                     continue
                 hits = [1.0 if p in tset else 0.0 for p in top[i]]
@@ -95,7 +105,17 @@ def main(data_dir: str = "data/ml1m") -> None:
                     1 / np.log2(r + 2) for r in range(min(len(tset), TOPK))
                 )
                 ndcgs.append(dcg / idcg)
-        print(f"{name:22s} NDCG@20 = {np.mean(ndcgs):.4f} (n={len(ndcgs)})")
+                gains = [rating_of.get(int(p), 0.0) for p in top[i]]
+                gdcg = sum(g / np.log2(r + 2) for r, g in enumerate(gains))
+                ideal = sorted(rating_of.values(), reverse=True)[:TOPK]
+                gidcg = sum(
+                    g / np.log2(r + 2) for r, g in enumerate(ideal)
+                )
+                graded.append(gdcg / gidcg if gidcg > 0 else 0.0)
+        print(
+            f"{name:22s} NDCG@20 binary = {np.mean(ndcgs):.4f}  "
+            f"graded = {np.mean(graded):.4f} (n={len(ndcgs)})"
+        )
 
     def genre_profile(u):
         ti = dm._train_items_by_user.get(u, [])

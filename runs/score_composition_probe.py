@@ -1,23 +1,27 @@
 """Score composition: learned two-tower + factorized itemCF + popularity.
 
-The repo's non-learned probes put itemCF+pop at 0.0677 val NDCG@20 vs
-the learned flagship's 0.0561 (BENCH_NOTES "What the quality numbers
-mean"). This probe measures the *composition*: restore a trained
-checkpoint, compute its eval scores exactly as the trainer does, then
-add a rank-r factorized CF channel and a popularity prior
+The repo's non-learned probes put itemCF+pop at 0.0677 *binary* val
+NDCG@20 vs the learned flagship's 0.0561 — but the trainer's metric is
+GRADED (ratings as gains, torchmetrics semantics), so the two were
+never directly comparable (round-4 finding). This probe restores a
+trained checkpoint, computes its eval scores exactly as the trainer
+does, adds the rank-r factorized CF channel + popularity prior
 
     score = learned + w_cf * (cf_u / ||cf_u||) . c_i + w_pop * pop_i
 
-sweeping (w_cf, w_pop) on the even-indexed half of the val users and
-reporting the odd half (honest calibration split) plus the full val set
-for the chosen weights.
+and reports BOTH metric conventions. Weights are calibrated by graded
+NDCG on the even-indexed half of the val users, reported on the odd
+half, the full val set, and (with --test) the fully held-out test
+split at the frozen weights.
 
 Run: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-     python runs/score_composition_probe.py runs/<run-dir> [rank]
+     python runs/score_composition_probe.py runs/<run-dir> [--rank R] \
+     [--test] [--weights W_CF W_POP]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import pathlib
 import sys
@@ -27,37 +31,74 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from xfmr_rec_tpu.data.module import DataConfig, RecDataModule
+from xfmr_rec_tpu.models.cf import factorize_item_cf
 from xfmr_rec_tpu.training.module import TrainConfig
 from xfmr_rec_tpu.training.trainer import Trainer, TrainerConfig
 
 TOPK = 20
 
 
-def factorize(dm, rank: int):
-    n_items = len(dm.item_ids)
-    pop = np.zeros(n_items)
-    for items in dm._train_items_by_user.values():
-        for it in items:
-            pop[it] += 1
-    pop_n = pop / pop.max()
-    co = np.zeros((n_items, n_items), np.float32)
-    for items in dm._train_items_by_user.values():
-        it = np.asarray(items)
-        co[np.ix_(it, it)] += 1
-    np.fill_diagonal(co, 0)
-    deg = np.sqrt(pop)
-    deg[deg == 0] = 1
-    cos = (co / deg[:, None] / deg[None, :]).astype(np.float64)
-    lam, vec = np.linalg.eigh(cos)
-    idx = np.argsort(-np.abs(lam))[:rank]
-    lam_r, v = lam[idx], vec[:, idx]
-    item_f = (v * np.sqrt(np.abs(lam_r))).astype(np.float32)
-    hist_f = (item_f * np.sign(lam_r)).astype(np.float32)
-    return item_f, hist_f, pop_n.astype(np.float32)
+def collect_rows(trainer, dm, corpus, cf, subset):
+    """Per-user: (learned scores, cf scores, exclusions, {pos: rating})."""
+    rows = []
+    pos_of_id = {int(m): p for p, m in enumerate(dm.item_ids)}
+    n_items = dm.num_items
+    for batch in dm.eval_batches(subset):
+        users = trainer._eval_user_embeds(batch)[:, : corpus.shape[1]]
+        learned = users @ corpus.T
+        for i, u in enumerate(batch["user_pos"]):
+            if not batch["valid"][i]:
+                continue
+            tgt = {}
+            for tid, rating in zip(
+                batch["target_ids"][i], batch["target_ratings"][i]
+            ):
+                if int(tid) != 0:
+                    tgt[pos_of_id[int(tid)]] = float(rating)
+            if not tgt:
+                continue
+            ti = dm._train_items_by_user.get(int(u), [])
+            cf_u = (
+                cf.user_vectors(np.asarray(ti, dtype=np.int64))
+                if ti
+                else np.zeros(cf.rank, np.float32)
+            )
+            e = batch["exclude_positions"][i]
+            e = e[(e >= 0) & (e < n_items)]
+            rows.append((learned[i], cf.item_factors @ cf_u, e, tgt))
+    return rows
 
 
-def main(run_dir: str, rank: int = 128) -> None:
-    run = pathlib.Path(run_dir)
+def ndcg(rows, pop_n, w_cf, w_pop, *, graded):
+    vals = []
+    for learned, cf_s, e, tgt in rows:
+        s = learned + w_cf * cf_s + w_pop * pop_n
+        s = s.copy()
+        s[e] = -1e9
+        top = np.argpartition(-s, TOPK)[:TOPK]
+        top = top[np.argsort(-s[top])]
+        gains = [
+            (tgt.get(int(p), 0.0) if graded else float(int(p) in tgt))
+            for p in top
+        ]
+        dcg = sum(g / np.log2(r + 2) for r, g in enumerate(gains))
+        ideal = sorted(tgt.values(), reverse=True) if graded else [1.0] * len(tgt)
+        idcg = sum(
+            g / np.log2(r + 2) for r, g in enumerate(ideal[:TOPK])
+        )
+        vals.append(dcg / idcg if idcg > 0 else 0.0)
+    return float(np.mean(vals))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dir")
+    ap.add_argument("--rank", type=int, default=128)
+    ap.add_argument("--test", action="store_true")
+    ap.add_argument("--weights", type=float, nargs=2, default=None)
+    args = ap.parse_args()
+
+    run = pathlib.Path(args.run_dir)
     cfg = json.loads((run / "config.json").read_text())
     dm = RecDataModule(DataConfig.model_validate(cfg["data"]))
     tcfg = dict(cfg["trainer"])
@@ -72,73 +113,62 @@ def main(run_dir: str, rank: int = 128) -> None:
     trainer.restore_checkpoint(str(run / "ckpt" / "best"))
     index = trainer.build_index()
     corpus = np.asarray(index.corpus, dtype=np.float32)
-    n_items = dm.num_items
+    if trainer.cf is not None:
+        # the run itself had the channel on: strip to the learned part so
+        # this probe's own factors/weights are the single CF source
+        corpus = corpus[:, : corpus.shape[1] - trainer.cf.rank - 1]
 
-    item_f, hist_f, pop_n = factorize(dm, rank)
+    cf = factorize_item_cf(
+        dm._train_items_by_user, dm.num_items, rank=args.rank
+    )
+    pop_n = cf.pop_prior
 
-    # gather per-user eval data: learned scores + cf vector + targets
-    rows = []  # (learned_scores, cf_unit_scores, excl, tset)
-    pos_of_id = {int(m): p for p, m in enumerate(dm.item_ids)}
-    for batch in dm.eval_batches("val"):
-        users = trainer._eval_user_embeds(batch)
-        learned = users @ corpus.T  # (B, n)
-        for i, u in enumerate(batch["user_pos"]):
-            if not batch["valid"][i]:
-                continue
-            tset = {
-                pos_of_id[int(x)]
-                for x in batch["target_ids"][i]
-                if int(x) != 0
-            }
-            if not tset:
-                continue
-            ti = dm._train_items_by_user.get(int(u), [])
-            cf_u = hist_f[ti].sum(0) if ti else np.zeros(rank, np.float32)
-            nrm = np.linalg.norm(cf_u)
-            if nrm > 0:
-                cf_u = cf_u / nrm
-            e = batch["exclude_positions"][i]
-            e = e[(e >= 0) & (e < n_items)]
-            rows.append((learned[i], item_f @ cf_u, e, tset))
+    rows = collect_rows(trainer, dm, corpus, cf, "val")
+    cal, held = rows[0::2], rows[1::2]
+    print(f"run={run.name} rank={args.rank} users={len(rows)}")
+    for graded in (True, False):
+        tag = "graded" if graded else "binary"
+        print(
+            f"learned only  [{tag}]: "
+            f"full {ndcg(rows, pop_n, 0, 0, graded=graded):.4f}"
+        )
+        print(
+            f"cf+pop w=(1,2)[{tag}]: full "
+            f"{ndcg([(np.zeros_like(r[0]), r[1], r[2], r[3]) for r in rows], pop_n, 1.0, 2.0, graded=graded):.4f}"
+        )
 
-    def ndcg(scores_fn, subset) -> float:
-        vals = []
-        for learned, cf_s, e, tset in subset:
-            s = scores_fn(learned, cf_s)
-            s = s.copy()
-            s[e] = -1e9
-            top = np.argpartition(-s, TOPK)[:TOPK]
-            top = top[np.argsort(-s[top])]
-            hits = [1.0 if p in tset else 0.0 for p in top]
-            dcg = sum(h / np.log2(r + 2) for r, h in enumerate(hits))
-            idcg = sum(
-                1 / np.log2(r + 2) for r in range(min(len(tset), TOPK))
+    if args.weights:
+        w_cf, w_pop = args.weights
+        print(f"frozen weights w_cf={w_cf} w_pop={w_pop}")
+    else:
+        best = (-1.0, (0.0, 0.0))
+        for w_cf in (0.0, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0):
+            for w_pop in (0.0, 0.25, 0.5, 1.0, 2.0, 4.0):
+                v = ndcg(cal, pop_n, w_cf, w_pop, graded=True)
+                if v > best[0]:
+                    best = (v, (w_cf, w_pop))
+        w_cf, w_pop = best[1]
+        print(
+            f"calibrated on graded cal half: w_cf={w_cf} w_pop={w_pop} "
+            f"(cal {best[0]:.4f})"
+        )
+    for graded in (True, False):
+        tag = "graded" if graded else "binary"
+        print(
+            f"composed      [{tag}]: "
+            f"held {ndcg(held, pop_n, w_cf, w_pop, graded=graded):.4f}  "
+            f"full {ndcg(rows, pop_n, w_cf, w_pop, graded=graded):.4f}"
+        )
+    if args.test:
+        trows = collect_rows(trainer, dm, corpus, cf, "test")
+        for graded in (True, False):
+            tag = "graded" if graded else "binary"
+            print(
+                f"test learned  [{tag}]: "
+                f"{ndcg(trows, pop_n, 0, 0, graded=graded):.4f}   "
+                f"composed: {ndcg(trows, pop_n, w_cf, w_pop, graded=graded):.4f}"
             )
-            vals.append(dcg / idcg)
-        return float(np.mean(vals))
-
-    cal = rows[0::2]
-    held = rows[1::2]
-    print(f"users: {len(rows)} (cal {len(cal)} / held {len(held)})")
-    print(f"learned only          : cal {ndcg(lambda l, c: l, cal):.4f}  "
-          f"held {ndcg(lambda l, c: l, held):.4f}  "
-          f"full {ndcg(lambda l, c: l, rows):.4f}")
-    print(f"cf only               : full "
-          f"{ndcg(lambda l, c: c, rows):.4f}")
-    print(f"cf+pop (w_pop=1)      : full "
-          f"{ndcg(lambda l, c: c + pop_n, rows):.4f}")
-
-    best = (-1.0, None)
-    for w_cf in (0.0, 0.5, 1.0, 2.0, 4.0, 8.0, 16.0):
-        for w_pop in (0.0, 0.25, 0.5, 1.0, 2.0, 4.0):
-            v = ndcg(lambda l, c: l + w_cf * c + w_pop * pop_n, cal)
-            if v > best[0]:
-                best = (v, (w_cf, w_pop))
-    (w_cf, w_pop) = best[1]
-    print(f"calibrated w_cf={w_cf} w_pop={w_pop}: cal {best[0]:.4f}")
-    print(f"  held {ndcg(lambda l, c: l + w_cf * c + w_pop * pop_n, held):.4f}")
-    print(f"  full {ndcg(lambda l, c: l + w_cf * c + w_pop * pop_n, rows):.4f}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], *(int(a) for a in sys.argv[2:]))
+    main()

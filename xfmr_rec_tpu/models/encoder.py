@@ -110,6 +110,21 @@ class ModelConfig(pydantic.BaseModel):
     # learned per-rating-level weights on bag items (liked vs disliked
     # history enters the bag with different learned magnitude/sign)
     bag_rating_weights: bool = True
+    # --- factorized item-CF scoring channel (models/cf.py): rank-r
+    # eigenfactors of the degree-normalized train co-occurrence ride the
+    # index as extra corpus columns; query vectors append the user's
+    # unit-normalized history CF vector scaled by cf_weight, plus a
+    # constant cf_pop_weight paired with a popularity-prior column. The
+    # composed score — learned dot + cf_weight * itemCF + cf_pop_weight
+    # * pop — stays ONE dot product, so every exact/Pallas/guaranteed/
+    # sharded top-k path and the mutable catalog work untouched.
+    # Non-learned: computed at setup from train interactions; affects
+    # retrieval scoring (eval + serving) only, not the training loss.
+    # cf_rank=0 disables. Measured: runs/cf_factorization_probe.py,
+    # runs/score_composition_probe.py.
+    cf_rank: int = 0
+    cf_weight: float = 1.0
+    cf_pop_weight: float = 0.0
 
     @pydantic.model_validator(mode="after")
     def _check_item_channels(self) -> "ModelConfig":

@@ -98,35 +98,21 @@ class RecommenderEngine:
             self.tokenizer = VocabTokenizer.load(path / "vocab.json")
         else:
             self.tokenizer = HashingTokenizer(tokenizer_config)
-        if self.model_config.user_tower == "history":
-            # history fusion user tower (models/history.py): item search
-            # and raw-query embedding still ride the text path; user
-            # queries fuse profile text with history-item embeddings
-            # gathered from the packaged corpus
-            from xfmr_rec_tpu.models.history import TwoTowerModel
+        from xfmr_rec_tpu.models.history import needs_two_tower
 
-            self.model = TwoTowerModel(self.model_config)
-            dummy = np.zeros((1, self.tokenizer.config.max_length), np.int32)
-            dummy_hist = np.zeros(
-                (
-                    1,
-                    self.model_config.max_history,
-                    self.tokenizer.config.max_length,
-                ),
-                np.int32,
+        if needs_two_tower(self.model_config):
+            # history fusion user tower and/or item identity channels
+            # (models/history.py): item search and raw-query embedding
+            # still ride the text path; user queries fuse profile text
+            # with history-item embeddings gathered from the packaged
+            # corpus. init_two_tower initializes EVERY configured channel
+            # (ID/bias/bag tables), so the template tree always matches
+            # the packaged params.
+            from xfmr_rec_tpu.models.history import init_two_tower
+
+            self.model, template = init_two_tower(
+                self.model_config, jax.random.PRNGKey(0)
             )
-            dummy_mask = np.zeros(
-                (1, self.model_config.max_history), bool
-            )
-            template = self.model.init(
-                {"params": jax.random.PRNGKey(0)},
-                dummy,
-                dummy_hist,
-                dummy_mask,
-                dummy_mask.astype(np.int32),
-                deterministic=True,
-                method="encode_user",
-            )["params"]
         else:
             self.model = TextEncoder(self.model_config)
             dummy = np.zeros((1, self.tokenizer.config.max_length), np.int32)
@@ -219,17 +205,39 @@ class RecommenderEngine:
                     "IVF probe recall@10 = %.3f at nprobe=%d", recall, nprobe
                 )
 
+        # factorized item-CF channel (models/cf.py): factor + popularity
+        # columns already live in the packaged index corpus; the engine
+        # rebuilds each query's CF vector from its history movie_ids
+        self.cf = None
+        if self.model_config.cf_rank > 0 and (path / "cf.npz").exists():
+            from xfmr_rec_tpu.models.cf import CFChannel
+
+            self.cf = CFChannel.load(path / "cf.npz")
+            self._cf_pos_of_id = {
+                int(item_id): pos
+                for pos, item_id in enumerate(np.asarray(self.index.ids))
+            }
+        # query width the MODEL produces before CF columns: d (+ the
+        # constant-1 bias pair when item_bias)
+        self._base_width = self.model_config.hidden_size + (
+            1 if self.model_config.item_bias else 0
+        )
+
         self._hist_corpus = None
         if self.model_config.user_tower == "history":
             # full-precision corpus embeddings for history gathers (the
             # fusion computes in bf16, so the f32-from-bf16 rounding in
             # corpus.npz is compute-exact); one device copy, O(H) rows
-            # gathered per user query
+            # gathered per user query. The fusion consumes the d-dim part
+            # only — extra scoring columns (bias / CF factors / pop) are
+            # sliced off.
             from xfmr_rec_tpu.training.module import make_user_encode_fn
 
             arrays = np.load(path / "index" / "corpus.npz", allow_pickle=False)
             self._hist_corpus = jax.device_put(
-                arrays["embeddings"].astype(np.float32)
+                arrays["embeddings"][
+                    :, : self.model_config.hidden_size
+                ].astype(np.float32)
             )
             self._hist_pos_of_id = {
                 int(item_id): pos for pos, item_id in enumerate(arrays["ids"])
@@ -248,6 +256,13 @@ class RecommenderEngine:
                 {"params": params}, tokens, deterministic=True
             )
         )
+        self._encode_items_fn = None
+        if needs_two_tower(self.model_config):
+            from xfmr_rec_tpu.training.module import make_item_encode_fn
+
+            # item-tower encode with identity channels (ID emb + bias
+            # column) — live catalog adds must produce index-width rows
+            self._encode_items_fn = jax.jit(make_item_encode_fn(self.model))
         # serializes live catalog mutations (add_items); the search path
         # stays lock-free — mutations publish by atomic index swap
         self._catalog_lock = threading.Lock()
@@ -269,6 +284,48 @@ class RecommenderEngine:
         return Query(text=query.text, embedding=embedding.tolist())
 
     # ------------------------------------------------------------------
+    # scoring-column helpers (item_bias / CF channel)
+    # ------------------------------------------------------------------
+    def _cf_query_cols(self, history: list | None) -> np.ndarray:
+        """(rank + 1,) CF query columns: cf_weight * unit history-CF
+        vector, then the constant cf_pop_weight paired with the corpus
+        popularity-prior column. Unknown/new movie_ids contribute zero
+        (out-of-range positions are masked by user_vectors)."""
+        positions = [
+            self._cf_pos_of_id.get(int(entry.movie_id), -1)
+            for entry in (history or [])
+        ]
+        vec = self.cf.user_vectors(
+            np.asarray(positions or [-1], dtype=np.int64)
+        )
+        return np.concatenate(
+            [
+                np.float32(self.model_config.cf_weight) * vec,
+                np.asarray([self.model_config.cf_pop_weight], np.float32),
+            ]
+        )
+
+    def _pad_query_vec(self, vec: np.ndarray) -> np.ndarray:
+        """Normalize a query vector to index width. Raw-text/anonymous
+        queries get the constant-1 bias pair (score = dot + b_i, matching
+        Trainer.recommend) and zero CF + the popularity weight — the
+        learned and popularity channels alone rank for them."""
+        d = self.model_config.hidden_size
+        if self.model_config.item_bias and vec.shape[-1] == d:
+            vec = np.concatenate([vec, np.ones(1, vec.dtype)])
+        if self.cf is not None and vec.shape[-1] == self._base_width:
+            vec = np.concatenate(
+                [
+                    vec,
+                    np.zeros(self.cf.rank, vec.dtype),
+                    np.asarray(
+                        [self.model_config.cf_pop_weight], vec.dtype
+                    ),
+                ]
+            )
+        return vec
+
+    # ------------------------------------------------------------------
     # item store
     # ------------------------------------------------------------------
     def search_items(
@@ -279,7 +336,9 @@ class RecommenderEngine:
     ) -> list[ItemCandidate]:
         if query.embedding is None:
             query = self.embed_query(query)
-        embedding = np.asarray(query.embedding, dtype=np.float32)
+        embedding = self._pad_query_vec(
+            np.asarray(query.embedding, dtype=np.float32)
+        )
         if self.ivf is not None:
             scores, item_ids = self.ivf.search(
                 embedding,
@@ -367,9 +426,34 @@ class RecommenderEngine:
             if clashes:
                 msg = f"item ids already in the catalog: {clashes[:8]}"
                 raise ValueError(msg)
-            embeddings = self.embed(
-                [item.movie_text for item in items]
-            ).astype(np.float32)
+            if self._encode_items_fn is not None:
+                # identity channels: ID embedding + bias column need the
+                # item tower, not the raw text path
+                tokens = self.tokenizer.encode_batch(
+                    [item.movie_text for item in items]
+                )
+                rns = np.asarray(
+                    [int(item.movie_rn) for item in items], np.int32
+                )
+                embeddings = np.asarray(
+                    self._encode_items_fn(self.params, tokens, rns)
+                ).astype(np.float32)
+            else:
+                embeddings = self.embed(
+                    [item.movie_text for item in items]
+                ).astype(np.float32)
+            if self.cf is not None:
+                # new items have no train interactions: zero CF factors
+                # and zero popularity — learned (+bias) channels rank them
+                embeddings = np.concatenate(
+                    [
+                        embeddings,
+                        np.zeros(
+                            (len(items), self.cf.rank + 1), np.float32
+                        ),
+                    ],
+                    axis=1,
+                )
             ids = np.concatenate(
                 [old.ids, np.asarray(new_ids)]
             )
@@ -413,7 +497,13 @@ class RecommenderEngine:
                 self._hist_corpus = jnp.concatenate(
                     [
                         self._hist_corpus,
-                        jax.device_put(jnp.asarray(embeddings)),
+                        jax.device_put(
+                            jnp.asarray(
+                                embeddings[
+                                    :, : self.model_config.hidden_size
+                                ]
+                            )
+                        ),
                     ]
                 )
                 for offset, item in enumerate(items):
@@ -450,7 +540,18 @@ class RecommenderEngine:
         (models/history.py). Unknown movie_ids in the history are skipped.
         """
         if self.model_config.user_tower != "history":
-            return self.embed_query(self.process_user(user))
+            query = self.embed_query(self.process_user(user))
+            if self.cf is None:
+                return query
+            embedding = np.concatenate(
+                [
+                    self._pad_query_vec(
+                        np.asarray(query.embedding, np.float32)
+                    )[: self._base_width],
+                    self._cf_query_cols(user.history),
+                ]
+            )
+            return Query(text=query.text, embedding=embedding.tolist())
         hist_len = self.model_config.max_history
         tokens = self.tokenizer.encode_batch([user.user_text])
         entries = sorted(
@@ -482,6 +583,10 @@ class RecommenderEngine:
                 hist_rat,
             )
         )[0]
+        if self.cf is not None:
+            embedding = np.concatenate(
+                [embedding, self._cf_query_cols(user.history)]
+            )
         return Query(text=user.user_text, embedding=embedding.tolist())
 
     def search_items_text(self, query: str, *, top_k: int = 10) -> list[dict]:

@@ -114,6 +114,10 @@ class Trainer:
         self.mesh = None
         self._sharded_corpus = None
         self._sharded_corpus_pad = 0
+        # factorized item-CF scoring channel (models/cf.py): factors +
+        # per-user CF vectors, computed once at setup when cf_rank > 0
+        self.cf = None
+        self._user_cf: np.ndarray | None = None
 
     # ------------------------------------------------------------------
     def setup(self) -> None:
@@ -143,6 +147,26 @@ class Trainer:
                 )
         self.data.prepare_data()
         self.data.setup()
+        if self.config.cf_rank > 0:
+            # non-learned channel: deterministic recompute from the train
+            # interactions (seeded), so checkpoints need not persist it
+            from xfmr_rec_tpu.models.cf import factorize_item_cf
+
+            self.cf = factorize_item_cf(
+                self.data._train_items_by_user,
+                self.data.num_items,
+                rank=self.config.cf_rank,
+                seed=self.trainer_config.seed,
+            )
+            user_cf = np.zeros(
+                (len(self.data.user_ids), self.cf.rank), np.float32
+            )
+            for u, items in self.data._train_items_by_user.items():
+                if items:
+                    user_cf[u] = self.cf.user_vectors(
+                        np.asarray(items, dtype=np.int64)
+                    )
+            self._user_cf = user_cf
         if (
             self.config.lr_schedule != "constant"
             and self.config.total_steps is None
@@ -422,14 +446,37 @@ class Trainer:
             ),
             as_numpy=self.config.index_dtype == "int8",
         )
+        if self.cf is not None:
+            # CF channel: factor + popularity-prior columns appended to
+            # every corpus row; the paired query columns carry the
+            # composition weights (build_index stays weight-agnostic)
+            if self.config.index_dtype == "int8":
+                logger.warning(
+                    "cf_rank > 0 with an int8 index: per-item symmetric "
+                    "quantization now spans mixed-scale columns "
+                    "(embeddings vs CF factors) — expect reduced "
+                    "precision on the smaller-magnitude channel"
+                )
+            xp = np if isinstance(corpus, np.ndarray) else jnp
+            corpus = xp.concatenate(
+                [
+                    corpus,
+                    xp.asarray(self.cf.item_factors, dtype=corpus.dtype),
+                    xp.asarray(
+                        self.cf.pop_prior[:, None], dtype=corpus.dtype
+                    ),
+                ],
+                axis=1,
+            )
         if self.config.user_tower == "history":
             # the history user tower gathers its history-item embeddings
-            # from this exact matrix (full precision, on device); with a
-            # bias column the fusion consumes the d-dim part only
+            # from this exact matrix (full precision, on device); with
+            # extra scoring columns (item bias / CF factors / popularity
+            # prior) the fusion consumes the d-dim part only
             corpus_f32 = jnp.asarray(corpus, dtype=jnp.float32)
             self._corpus_f32 = (
                 corpus_f32[:, : self.config.hidden_size]
-                if self.config.item_bias
+                if corpus_f32.shape[1] > self.config.hidden_size
                 else corpus_f32
             )
         metadata = [
@@ -475,7 +522,7 @@ class Trainer:
                 out = np.concatenate(
                     [out, np.ones((len(out), 1), out.dtype)], axis=1
                 )
-            return out
+            return self._augment_query(out, batch.get("user_pos"))
         tokens = batch["user_tokens"]
         extras = [
             batch["hist_positions"].astype(np.int32),
@@ -502,7 +549,33 @@ class Trainer:
         out = self._encode_user(
             self.state.params, tokens, self._corpus_f32, *extras
         )
-        return np.asarray(out[:-pad] if pad else out)
+        out = np.asarray(out[:-pad] if pad else out)
+        return self._augment_query(out, batch.get("user_pos"))
+
+    def _augment_query(
+        self, out: np.ndarray, user_pos: np.ndarray | None
+    ) -> np.ndarray:
+        """Append the CF-channel query columns: cf_weight * (unit user CF
+        vector) paired with the corpus factor columns, and a constant
+        cf_pop_weight paired with the popularity-prior column. Queries
+        without a dataset user (raw text, cold users) get zero CF — the
+        learned + popularity channels alone rank for them."""
+        if self.cf is None:
+            return out
+        if user_pos is None:
+            cf_vecs = np.zeros((len(out), self.cf.rank), np.float32)
+        else:
+            cf_vecs = self._user_cf[np.asarray(user_pos, dtype=np.int64)]
+        return np.concatenate(
+            [
+                out,
+                (self.config.cf_weight * cf_vecs).astype(out.dtype),
+                np.full(
+                    (len(out), 1), self.config.cf_pop_weight, out.dtype
+                ),
+            ],
+            axis=1,
+        )
 
     def _sharded_search(
         self, users: jnp.ndarray, batch: dict, top_k: int
@@ -685,6 +758,7 @@ class Trainer:
             embeds = np.concatenate(
                 [embeds, np.ones((len(embeds), 1), embeds.dtype)], axis=1
             )
+        embeds = self._augment_query(embeds, None)
         scores, item_ids = self.index.search(
             embeds, top_k=top_k or self.config.top_k, exclude_ids=exclude_ids
         )
@@ -696,7 +770,8 @@ class Trainer:
         if self.index is None:
             self.build_index()
         batch: dict[str, np.ndarray] = {
-            "user_tokens": self.data.user_tokens[user_pos]
+            "user_tokens": self.data.user_tokens[user_pos],
+            "user_pos": np.asarray(user_pos),
         }
         if self.config.user_tower == "history":
             hist_pos = self.data.user_hist_pos[user_pos]
@@ -814,6 +889,11 @@ class Trainer:
         if self.index is None:
             self.build_index()
         self.index.save(path / "index")
+        if self.cf is not None:
+            # CF factors ride the artifact: the serving engine rebuilds
+            # each query's CF vector from its history movie_ids (works
+            # for dataset AND never-seen users alike)
+            self.cf.save(path / "cf.npz")
         # corpus-trained vocab rides the artifact so serving tokenizes
         # byte-identically (tokenizer="vocab" only; hashing is stateless)
         if hasattr(self.data.tokenizer, "vocab"):
