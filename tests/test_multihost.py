@@ -80,3 +80,56 @@ def test_two_process_train_step_agrees():
     # both workers computed the SAME globally-reduced loss
     assert len(losses) == 1
     assert len(hist_losses) == 1
+
+
+@pytest.mark.slow
+def test_two_process_serving_end_to_end(tmp_path_factory):
+    """A real RecommenderEngine(index_kind='sharded') + RecService
+    answer a /recommend_with_user_id request whose scan + merge
+    collectives span BOTH processes; each worker asserts the response
+    against a dense numpy reference (VERDICT r3 next-step #6). The
+    reference's serving graph is single-host BentoML
+    (bentoml/service.py:184-311)."""
+    from tests.test_serving import build_artifact
+
+    artifact = build_artifact(tmp_path_factory)
+    port = _free_port()
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+    }
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = str(ROOT)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                str(ROOT / "runs" / "multihost_serving_worker.py"),
+                str(pid),
+                "2",
+                str(port),
+                str(artifact),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for proc in procs:
+        out, _ = proc.communicate(timeout=420)
+        outs.append(out)
+        assert proc.returncode == 0, out[-2000:]
+    responses = set()
+    for out in outs:
+        serve_lines = [
+            ln for ln in out.splitlines() if ln.startswith("OK-SERVE ")
+        ]
+        assert serve_lines, out[-2000:]
+        assert "devices=8" in serve_lines[0]
+        responses.add(serve_lines[0].split("ids=")[1])
+    # both processes returned the SAME globally-merged recommendation
+    assert len(responses) == 1
