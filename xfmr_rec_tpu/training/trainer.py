@@ -80,6 +80,12 @@ class TrainerConfig:
     # additionally sharded over the "model" axis (corpus parallelism).
     mesh: bool | None = None
     model_parallel: int = 1
+    # Real model parallelism for training (off by default — the model
+    # axis otherwise folds into data parallelism): shard the (vocab,
+    # hidden) token-embedding table + its adam moments row-wise over the
+    # model axis (parallel/train.py state_shardings). Numerics are
+    # exactly data-parallel (tests/test_parallel.py).
+    shard_vocab: bool = False
 
 
 class Trainer:
@@ -220,32 +226,53 @@ class Trainer:
                     f"(shape {dict(self.mesh.shape)})"
                 )
                 raise ValueError(msg)
-            self.state = replicate(self.state, self.mesh)
             replicated = NamedSharding(self.mesh, P())
             sharded_rows = NamedSharding(
                 self.mesh, P(batch_spec()[0], None)
             )
+            if tc.shard_vocab:
+                from xfmr_rec_tpu.parallel.train import (
+                    place_state,
+                    state_shardings,
+                )
+
+                self.state = place_state(
+                    self.state, self.mesh, self.config, shard_vocab=True
+                )
+                params_sharding = state_shardings(
+                    self.state, self.mesh, self.config, shard_vocab=True
+                ).params
+            else:
+                self.state = replicate(self.state, self.mesh)
+                params_sharding = replicated
             self._train_step = make_sharded_train_step(
-                self.config, self.mesh
+                self.config,
+                self.mesh,
+                shard_vocab=tc.shard_vocab,
+                state=self.state,
             )
             self._eval_step = jax.jit(
                 make_eval_loss_step(self.config), out_shardings=replicated
             )
             self._encode = jax.jit(
                 make_encode_fn(self.model),
-                in_shardings=(replicated, sharded_rows),
+                in_shardings=(params_sharding, sharded_rows),
                 out_shardings=replicated,
             )
             sharded_any = NamedSharding(self.mesh, P(batch_spec()[0]))
             if uses_item_ids(self.config):
                 self._encode_items = jax.jit(
                     make_item_encode_fn(self.model),
-                    in_shardings=(replicated, sharded_rows, sharded_any),
+                    in_shardings=(
+                        params_sharding,
+                        sharded_rows,
+                        sharded_any,
+                    ),
                     out_shardings=replicated,
                 )
             if self.config.user_tower == "history":
                 user_in = [
-                    replicated,
+                    params_sharding,
                     sharded_rows,
                     replicated,
                     sharded_any,
