@@ -2,6 +2,7 @@
 
 import json
 import threading
+import time
 
 import numpy as np
 import urllib.request
@@ -607,3 +608,84 @@ class TestCatalogMutationGate:
         with pytest.raises(ValueError, match="duplicate ids"):
             engine.add_items([dupe, dupe])
         assert len(engine.index) == before
+
+
+class TestMutationUnderTraffic:
+    """Torture: 16 reader threads hammer search_items while add_items
+    cycles (VERDICT r3 #4). Contract: zero errors, no torn reads (every
+    response's ids come from a published catalog version — adds are
+    append-only so the final catalog is the union), fixed result width,
+    and adds become visible to searches (liveness). The reference's
+    LanceDB tables are concurrently readable stores
+    (data/lightning.py:128-151); here reads are lock-free against an
+    atomic index swap."""
+
+    READERS = 16
+    MUTATIONS = 5
+
+    def test_search_hammer_while_adding(self, artifact):
+        from xfmr_rec_tpu.serving.schemas import ItemQuery
+
+        engine = RecommenderEngine(artifact, warmup=False)
+        base_ids = {int(i) for i in engine.index.ids}
+        added_ids = [990100 + i for i in range(self.MUTATIONS * 2)]
+        all_ids = base_ids | set(added_ids)
+
+        # fixed query embedding: readers exercise the search path, not
+        # the encoder
+        query = engine.embed_query(Query(text="drama comedy"))
+        errors: list[BaseException] = []
+        seen_added = threading.Event()
+        stop = threading.Event()
+
+        def reader():
+            try:
+                while not stop.is_set():
+                    out = engine.search_items(query, top_k=5)
+                    ids = [int(c.movie_id) for c in out]
+                    assert len(ids) == 5, out
+                    assert len(set(ids)) == 5, "duplicate ids in response"
+                    assert set(ids) <= all_ids, (
+                        f"ids outside any published catalog: {ids}"
+                    )
+                    # scores ranked descending (a torn index would break
+                    # the score/id pairing)
+                    scores = [float(c.score) for c in out]
+                    assert scores == sorted(scores, reverse=True), out
+                    if set(ids) & set(added_ids):
+                        seen_added.set()
+            except BaseException as exc:  # noqa: BLE001 — collected
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=reader) for _ in range(self.READERS)
+        ]
+        for thread in threads:
+            thread.start()
+        try:
+            for m in range(self.MUTATIONS):
+                engine.add_items(
+                    [
+                        ItemQuery(
+                            movie_rn=0,
+                            movie_id=added_ids[2 * m + j],
+                            # same text as the query so adds rank high
+                            # and the liveness check fires
+                            movie_text='{"title": "Drama Comedy '
+                            f'{m}{j} (2030)", "genres": ["Drama"]}}',
+                        )
+                        for j in range(2)
+                    ]
+                )
+            # keep traffic flowing a moment after the last swap
+            deadline = time.time() + 3.0
+            while time.time() < deadline and not seen_added.is_set():
+                time.sleep(0.05)
+        finally:
+            stop.set()
+            for thread in threads:
+                thread.join(timeout=60)
+        assert not errors, errors[:3]
+        assert len(engine.index) == len(base_ids) + len(added_ids)
+        # liveness: post-mutation searches surfaced added items
+        assert seen_added.is_set(), "adds never became visible to readers"

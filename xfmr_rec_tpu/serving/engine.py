@@ -385,9 +385,12 @@ class RecommenderEngine:
         concat for bf16/f32; int8 dequantizes through host once), and
         **atomically swaps** `self.index` — searches in flight keep
         their reference to the old index, searches issued after the
-        swap see the new catalog, no locks on the read path. The next
-        search pays one XLA recompile (the padded corpus length is a
-        compile-time constant), so batch updates. The reference's
+        swap see the new catalog, no locks on the read path. The grown
+        index's search graph is PRE-COMPILED before the swap (the
+        corpus length is a compile-time constant) while the old index
+        keeps serving, so post-swap traffic pays no recompile stall on
+        the default query shape (measured: runs/bench_mutation.py);
+        still batch updates — each mutation compiles once. The reference's
         equivalent is a wholesale LanceDB table rebuild
         (data/lightning.py:183-235).
 
@@ -508,6 +511,12 @@ class RecommenderEngine:
                 )
                 for offset, item in enumerate(items):
                     self._hist_pos_of_id[int(item.movie_id)] = base + offset
+            # precompile-then-swap: compile the grown index's search
+            # graph while the OLD index still serves (reads are
+            # lock-free on their own reference) so the first post-swap
+            # search doesn't stall on XLA
+            warm = np.zeros((1, int(new_index.corpus.shape[1])), np.float32)
+            new_index.search(warm, top_k=TOP_K)
             self.index = new_index
         return len(items)
 
