@@ -53,8 +53,8 @@ def _bf16_contest_kernel(
         q_ref[:],
         c_ref[:],
         (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.bfloat16,
-    )
+        preferred_element_type=jnp.float32,  # MXU acc must be 32-bit
+    ).astype(jnp.bfloat16)
     b1, b2 = b1_ref[:], b2_ref[:]
     idx = jnp.full(scores.shape, step, jnp.int16)
     new_won = scores > b1  # mask
@@ -187,3 +187,16 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+# MEASURED OUTCOME (round 4, real chip via axon):
+#   int32 packed contest : 12.12 ms at 1M x 64, B=4096 (production path)
+#   bf16+i16 contest     : DOES NOT COMPILE on this target —
+#     "Mosaic failed to compile TPU kernel: Target does not support this
+#      comparison" at the bf16 `scores > b1`.
+# runs/probe_ops16.py isolates the op support matrix: bf16 max/min OK,
+# bf16 compare/select FAIL, int16 max/compare/select FAIL (int32 all
+# OK). Without 16-bit compares or selects there is no packed-lane
+# contest with index provenance, so the VERDICT-suggested "bf16 keys
+# halving contest ops" lever is structurally unavailable on this
+# Mosaic target. The 4M optimization budget therefore goes to geometry
+# tuning + retry scheduling (runs/profile_guaranteed_4m.py).
