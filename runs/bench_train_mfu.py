@@ -74,7 +74,12 @@ def main() -> None:
     print(header)
     for name, config in CONFIGS.items():
         step = jax.jit(make_train_step(config), donate_argnums=0)
-        for batch_size in (256, 1024, 4096):
+        # h384 at B=4096 exceeds one chip's HBM (the 8-loss (B, 2B)
+        # matrices fwd+bwd need ~29.5 GB — measured OOM), so the big
+        # config tops out at 2048
+        sizes = (256, 1024, 4096) if config.hidden_size <= 64 else (
+            256, 1024, 2048)
+        for batch_size in sizes:
             _, state = create_train_state(config, rng=0)
             batch = synthetic_batch(
                 batch_size, config.max_length, config.vocab_size, rng
@@ -86,16 +91,20 @@ def main() -> None:
             flops = float(
                 (cost or {}).get("flops", float("nan"))
             )
-            # warmup (and state donation bootstrap)
+            # warmup (and state donation bootstrap). NOTE: the axon relay
+            # acks readiness before remote completion, so block_until_ready
+            # is NOT a sync here — every timing below drains an actual
+            # VALUE (float() fetch), the same harness convention as every
+            # probe in runs/ (BENCH_NOTES "scalar drain").
             for _ in range(3):
                 state, metrics = step(state, batch)
-            jax.block_until_ready(metrics)
+            float(metrics["train/grad_norm"])
 
             times = []
             for _ in range(8):
                 t0 = time.perf_counter()
                 state, metrics = step(state, batch)
-                jax.block_until_ready(metrics)
+                float(metrics["train/grad_norm"])
                 times.append(time.perf_counter() - t0)
             block_ms = float(np.median(times)) * 1e3
 
@@ -103,7 +112,7 @@ def main() -> None:
             t0 = time.perf_counter()
             for _ in range(reps):
                 state, metrics = step(state, batch)
-            jax.block_until_ready(metrics)
+            float(metrics["train/grad_norm"])
             pipe_ms = (time.perf_counter() - t0) / reps * 1e3
 
             mfu = flops / (pipe_ms / 1e3) / PEAK_BF16
