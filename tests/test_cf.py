@@ -322,6 +322,30 @@ class TestServingCF:
         hits = engine.search_items(query, top_k=5)
         assert len(hits) == 5
 
+    def test_cf_artifact_serves_under_ivf_and_sharded(self, artifact):
+        """The CF columns live in the corpus, so every index kind
+        composes the same score — ivf (clustered over the augmented
+        vectors) and sharded (mesh-split rows) included."""
+        from xfmr_rec_tpu.serving.engine import RecommenderEngine
+        from xfmr_rec_tpu.serving.schemas import Query
+
+        for kind in ("ivf", "sharded"):
+            engine = RecommenderEngine(
+                artifact, warmup=False, index_kind=kind, nprobe=4
+            )
+            assert engine.cf is not None
+            out = engine.search_items(Query(text="anything"), top_k=3)
+            assert len(out) == 3, (kind, out)
+            user = engine.get_user(int(next(iter(engine._users_by_id))))
+            query = engine.embed_user_query(user)
+            d = engine.model_config.hidden_size
+            assert (
+                np.asarray(query.embedding).shape[0]
+                == d + 1 + self.RANK + 1
+            )
+            hits = engine.search_items(query, top_k=3)
+            assert len(hits) == 3, (kind, hits)
+
     def test_add_items_keeps_widths_consistent(self, engine):
         from xfmr_rec_tpu.serving.schemas import ItemQuery, Query
 
