@@ -163,3 +163,99 @@ class TestVocabTokenizer:
             VocabTokenizer(
                 [f"t{i}" for i in range(7)], TokenizerConfig(vocab_size=8)
             )
+
+
+class TestNativeBM25:
+    """C++ BM25 (native/bm25.cpp) vs the Python oracle (index/mips.py).
+
+    The reference's FTS is LanceDB's native Rust engine
+    (data/lightning.py:221,298); here the native/Python pair must agree
+    on tokenization, scoring (to float rounding) and ranking."""
+
+    DOCS = [
+        {"text": '{"title": "Toy Story (1995)", "genres": ["Animation"]}'},
+        {"text": '{"title": "Heat (1995)", "genres": ["Action", "Crime"]}'},
+        {"text": '{"title": "Toy Story 2 (1999)", "genres": ["Animation"]}'},
+        {"text": "CASE insensitive MiXeD 42 tokens-with punct!!"},
+        {"text": ""},
+        {"text": "story story story story"},
+    ]
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from xfmr_rec_tpu.index.mips import BM25Index
+
+        py = BM25Index(list(self.DOCS), text_col="text", native=False)
+        native = BM25Index(list(self.DOCS), text_col="text", native=True)
+        assert native._native is not None
+        return py, native
+
+    @pytest.mark.parametrize(
+        "query",
+        [
+            "toy story",
+            "heat",
+            "animation 1995",
+            "STORY",
+            "nonexistent token",
+            "42 punct",
+            "",
+            "story toy story heat",
+        ],
+    )
+    def test_matches_python_oracle(self, pair, query):
+        py, native = pair
+        want = py.search(query, top_k=6)
+        got = native.search(query, top_k=6)
+        assert [r for r, _ in got] == [r for r, _ in want], (query, got, want)
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-5, atol=1e-6
+        )
+
+    def test_randomized_corpus_agrees(self):
+        from xfmr_rec_tpu.index.mips import BM25Index
+
+        rng = np.random.default_rng(0)
+        vocab = [f"w{i}" for i in range(50)]
+        docs = [
+            {"t": " ".join(rng.choice(vocab, size=rng.integers(1, 30)))}
+            for _ in range(200)
+        ]
+        py = BM25Index(docs, text_col="t", native=False)
+        native = BM25Index(docs, text_col="t", native=True)
+        for seed in range(20):
+            q_rng = np.random.default_rng(seed)
+            query = " ".join(q_rng.choice(vocab, size=3))
+            want = py.search(query, top_k=10)
+            got = native.search(query, top_k=10)
+            # identical rows except where adjacent scores collide at
+            # float rounding; scores must agree everywhere
+            np.testing.assert_allclose(
+                [s for _, s in got],
+                [s for _, s in want],
+                rtol=1e-5,
+                atol=1e-6,
+            )
+            assert {r for r, _ in got} == {r for r, _ in want}, query
+
+    def test_topk_truncation_and_positive_only(self, pair):
+        _, native = pair
+        out = native.search("story", top_k=2)
+        assert len(out) == 2
+        assert all(s > 0 for _, s in out)
+        # doc 5 repeats "story" 4x but is short; ranking must be BM25's,
+        # not raw tf: saturation keeps it comparable to title docs
+        everything = native.search("story", top_k=10)
+        assert {r for r, _ in everything} == {0, 2, 5}
+
+    def test_explicit_native_unavailable_raises(self, monkeypatch):
+        from xfmr_rec_tpu.index.mips import BM25Index
+        from xfmr_rec_tpu.native import bm25_native
+
+        monkeypatch.setattr(bm25_native, "available", lambda: False)
+        with pytest.raises(RuntimeError, match="native BM25"):
+            BM25Index(list(self.DOCS), text_col="text", native=True)
+        # default silently falls back
+        idx = BM25Index(list(self.DOCS), text_col="text")
+        assert idx._native is None
+        assert idx.search("toy", top_k=2)

@@ -117,15 +117,22 @@ def exact_topk(
 class BM25Index:
     """Host-side BM25 over metadata rows (the reference's LanceDB FTS
     capability, data/lightning.py:221,298 — built for BOTH item and user
-    tables there). Reusable: RetrievalIndex.search_text rides it for
-    items; the serving engine builds one over user rows.
+    tables there; LanceDB's FTS is native Rust — here the build and
+    search run in C++ (native/bm25.cpp) with this Python implementation
+    as the semantics oracle and fallback). Reusable:
+    RetrievalIndex.search_text rides it for items; the serving engine
+    builds one over user rows.
     """
 
     K1 = 1.2
     B = 0.75
 
     def __init__(
-        self, metadata: list[dict], *, text_col: str | None = None
+        self,
+        metadata: list[dict],
+        *,
+        text_col: str | None = None,
+        native: bool | None = None,
     ) -> None:
         import re
 
@@ -137,10 +144,19 @@ class BM25Index:
             )
         self.text_col = text_col
         self._tokenize = re.compile(r"[a-z0-9]+").findall
-        docs = [
-            self._tokenize(str(m.get(text_col, "")).lower())
-            for m in metadata
-        ]
+        texts = [str(m.get(text_col, "")) for m in metadata]
+        self._native = None
+        if native is not False and text_col is not None:
+            from xfmr_rec_tpu.native import bm25_native
+
+            if bm25_native.available():
+                self._native = bm25_native.NativeBM25(texts)
+            elif native:  # explicitly requested
+                msg = "native BM25 requested but unavailable"
+                raise RuntimeError(msg)
+        if self._native is not None:
+            return
+        docs = [self._tokenize(text.lower()) for text in texts]
         postings: dict[str, dict[int, int]] = {}
         for row, toks in enumerate(docs):
             for tok in toks:
@@ -155,6 +171,8 @@ class BM25Index:
         """Top matching (row, score) pairs, positive scores only."""
         if self.text_col is None:
             return []
+        if self._native is not None:
+            return self._native.search(query, top_k=top_k)
         n_docs = len(self._doc_lens)
         avg_len = float(self._doc_lens.mean()) if n_docs else 1.0
         scores = np.zeros(n_docs, dtype=np.float32)
