@@ -68,6 +68,24 @@ class TestWorkerDeviceEnv:
             seen |= chips
         assert seen == {str(c) for c in range(8)}
 
+    def test_tpu_workers_clamp_to_present_chips(self):
+        """A 1-chip host (or the CPU test env, where jax.devices() is
+        the virtual mesh) must clamp tpu workers so no worker pins a
+        chip that doesn't exist — half-failing rungs are worse than
+        serializing."""
+        import jax
+
+        n = len(jax.devices())
+        ex = TrialExecutor(
+            {"kind": "import", "path": f"{_HERE}:eval_deterministic"},
+            workers=n + 5,
+            platform="tpu",
+        )
+        try:
+            assert ex.workers == n
+        finally:
+            ex.shutdown()
+
     def test_unknown_platform_raises(self):
         try:
             worker_device_env(0, 1, platform="gpu")

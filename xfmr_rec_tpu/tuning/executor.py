@@ -13,9 +13,13 @@ set before the worker's first `jax` import:
   with 2 devices each.
 - tpu platform: workers are pinned to disjoint chip subsets with
   ``TPU_VISIBLE_DEVICES`` + single-process topology bounds (the same
-  mechanism Ray's TPU workers use). On a single-chip host this
-  degenerates to ``workers=1`` — the scheduler still works, trials just
-  serialize.
+  mechanism Ray's TPU workers use). Worker count clamps to the chips
+  actually present (a worker pinned to a missing chip would fail every
+  trial), so a single-chip host degenerates to ``workers=1`` — the
+  scheduler still works, trials just serialize. Hosts that reach their
+  chip through a remote relay (e.g. this bench host's axon proxy) have
+  no local libtpu for workers to open: use the sequential loop or cpu
+  workers there.
 
 The executor is rung-synchronous: `hpo.tune` dispatches every trial of
 one successive-halving rung concurrently, waits, ranks, and promotes —
@@ -186,6 +190,22 @@ class TrialExecutor:
         if workers < 1:
             msg = f"workers must be >= 1, got {workers}"
             raise ValueError(msg)
+        if platform == "tpu":
+            # a worker pinned to a chip the host doesn't have would fail
+            # every trial it receives (the subprocess can't init jax) —
+            # clamp to the chips actually present so a single-chip host
+            # degenerates to workers=1 rather than failing half the rung
+            import jax
+
+            n_chips = len(jax.devices())
+            fit = max(1, n_chips // max(devices_per_worker, 1))
+            if workers > fit:
+                logger.warning(
+                    "clamping workers %d -> %d (%d chip(s) present, "
+                    "%d per worker)",
+                    workers, fit, n_chips, devices_per_worker,
+                )
+                workers = fit
         self.spec = spec
         self.workers = workers
         import multiprocessing
