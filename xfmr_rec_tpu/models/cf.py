@@ -26,7 +26,10 @@ path, exclusion mask, and the mutable-catalog machinery work untouched.
 
 Measured (runs/cf_factorization_probe.py, synthetic-ML1M, val NDCG@20):
 exact itemCF 0.0650 / +pop 0.0677; factorized r=128 0.0655 / +pop
-0.0680 — truncation slightly denoises the exact probe.
+0.0680 — truncation slightly denoises the exact probe. Serving cost at
+scale: the r+1 extra columns ride the MXU side of the scan — 1M x
+(64+128+1) guaranteed-exact measures 150.4k QPS on one chip vs 203.7k
+for the bare 64-d corpus (BENCH_NOTES round 4).
 """
 
 from __future__ import annotations
