@@ -248,3 +248,106 @@ class TestSavedEmbeddingsPrecision:
         # byte-identical to the build-time f32 corpus (a reconstruction
         # from the bf16 buckets would round ~half the mantissa away)
         np.testing.assert_array_equal(arrays["embeddings"], corpus)
+
+
+class TestCertifiedIVF:
+    """Triangle-bound exactness certificates (index/ivf.py
+    search_certified): on clustered corpora the probe PROVES
+    exhaustive-exactness; on adversarial random corpora the bound is
+    vacuous and rows stay uncertified — and every certified row must
+    match the dense oracle regardless."""
+
+    @staticmethod
+    def _clustered_corpus(n=2000, d=16, centers=16, sigma=0.08, seed=0):
+        rng = np.random.default_rng(seed)
+        mus = rng.normal(size=(centers, d))
+        mus /= np.linalg.norm(mus, axis=1, keepdims=True)
+        assign = rng.integers(0, centers, n)
+        x = mus[assign] + sigma * rng.normal(size=(n, d))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        return x.astype(np.float32), mus
+
+    def test_certified_rows_match_dense_oracle_clustered(self):
+        corpus, mus = self._clustered_corpus()
+        index = IVFIndex(
+            corpus, np.arange(len(corpus)), num_clusters=16, nprobe=4
+        )
+        rng = np.random.default_rng(1)
+        queries = mus[rng.integers(0, len(mus), 32)] + 0.05 * rng.normal(
+            size=(32, corpus.shape[1])
+        )
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        queries = queries.astype(np.float32)
+        scores, ids, exact = index.search_certified(queries, top_k=5)
+        assert exact.any(), "tight clusters must certify some rows"
+        dense = queries @ corpus.T
+        from xfmr_rec_tpu.index.ivf import CERT_SLACK
+
+        for b in np.flatnonzero(exact):
+            kth_dense = np.sort(dense[b])[-5]
+            got = dense[b, ids[b]]
+            # every returned item within the declared slack of the
+            # dense top-5 threshold
+            assert (got >= kth_dense - 2 * CERT_SLACK).all(), (
+                b, got, kth_dense,
+            )
+
+    def test_random_corpus_certifies_nothing(self):
+        rng = np.random.default_rng(0)
+        corpus = rng.normal(size=(1500, 16)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        index = IVFIndex(
+            corpus, np.arange(1500), num_clusters=16, nprobe=4
+        )
+        queries = rng.normal(size=(16, 16)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        _, _, exact = index.search_certified(queries, top_k=5)
+        # radii ~ sqrt(2): the bound exceeds any achievable score
+        assert not exact.any()
+
+    def test_full_probe_certifies_everything(self):
+        corpus, mus = self._clustered_corpus(n=500, centers=8)
+        index = IVFIndex(
+            corpus, np.arange(len(corpus)), num_clusters=8, nprobe=8
+        )
+        queries = mus.astype(np.float32)
+        scores, ids, exact = index.search_certified(
+            queries, top_k=3, nprobe=8
+        )
+        assert exact.all()  # nprobe == num_clusters: nothing unprobed
+
+    def test_exclusions_stay_sound(self):
+        corpus, mus = self._clustered_corpus()
+        index = IVFIndex(
+            corpus, np.arange(len(corpus)), num_clusters=16, nprobe=16
+        )
+        queries = mus[:8].astype(np.float32)
+        dense = queries @ corpus.T
+        banned = np.argsort(-dense, axis=1)[:, :2]
+        _, ids, exact = index.search_certified(
+            queries,
+            top_k=5,
+            exclude_ids=[row.tolist() for row in banned],
+        )
+        for b in range(8):
+            assert not set(banned[b].tolist()) & set(ids[b].tolist())
+
+    def test_engine_certified_mode_matches_exact(self, tmp_path_factory):
+        from tests.test_serving import build_artifact
+        from xfmr_rec_tpu.serving.engine import RecommenderEngine
+        from xfmr_rec_tpu.serving.schemas import Query
+
+        artifact = build_artifact(tmp_path_factory)
+        exact_engine = RecommenderEngine(artifact, warmup=False)
+        cert_engine = RecommenderEngine(
+            artifact, warmup=False, index_kind="ivf", nprobe=4,
+            ivf_certified=True,
+        )
+        for text in ("comedy drama", "action 1995", "toy story"):
+            want = exact_engine.search_items(Query(text=text), top_k=5)
+            got = cert_engine.search_items(Query(text=text), top_k=5)
+            np.testing.assert_allclose(
+                [c.score for c in got],
+                [c.score for c in want],
+                atol=2e-2,  # certificate slack + bf16 index rounding
+            )

@@ -38,6 +38,12 @@ import numpy as np
 from jax import Array
 
 NEG_INF = float("-inf")
+# certificate slack for bf16-stored buckets: the probe scores
+# fl(cast_bf16(q) . x_served) with f32 accumulation, so the computed
+# score can sit up to ~||q||*||x||*2^-8 from the exact f32 dot against
+# the served vectors; 2^-7 covers it with 2x margin for unit-norm data
+# (the f32-bucket path is tighter; the same constant stays sound).
+CERT_SLACK = 2.0**-7
 
 
 def kmeans(
@@ -281,6 +287,22 @@ class IVFIndex:
         self.positions = jnp.asarray(positions)
         self._ids_dev = jnp.asarray(self.ids.astype(np.int64))
         self._num_items = num_items
+        # per-cluster covering radii over the SERVING-dtype vectors (the
+        # vectors the probe actually scores): r_c = max ||x_served - mu||.
+        # These power the certified search's triangle bound
+        #   q . x <= q . mu_c + ||q|| * r_c   for every x in cluster c,
+        # so a probe can PROVE no unprobed cluster holds a top-k item.
+        served = np.asarray(self.buckets, np.float32)
+        diff_sq = (
+            (served**2).sum(-1)
+            - 2.0 * np.einsum("kbd,kd->kb", served, centroids)
+            + (centroids**2).sum(-1)[:, None]
+        )
+        slot_valid = np.asarray(positions) < num_items
+        diff_sq = np.where(slot_valid, np.maximum(diff_sq, 0.0), 0.0)
+        self.radii = jnp.asarray(
+            np.sqrt(diff_sq.max(axis=1)), jnp.float32
+        )
 
         def probe(q, k, nprobe, centroids, buckets, positions, excl):
             q = q.astype(jnp.float32)
@@ -313,9 +335,61 @@ class IVFIndex:
             top_pos = jnp.take_along_axis(cand_pos, arg, axis=-1)
             return top_scores, top_pos
 
+        def probe_certified(
+            q, k, nprobe, centroids, radii, buckets, positions, excl
+        ):
+            qf = q.astype(jnp.float32)
+            cluster_scores = jnp.dot(
+                qf, centroids.T, preferred_element_type=jnp.float32
+            )
+            _, probe_ids = jax.lax.top_k(cluster_scores, nprobe)
+            cand = buckets[probe_ids]
+            cand_pos = positions[probe_ids]
+            scores = jnp.einsum(
+                "bd,bpcd->bpc",
+                q.astype(cand.dtype),
+                cand,
+                preferred_element_type=jnp.float32,
+            )
+            batch = qf.shape[0]
+            scores = scores.reshape(batch, -1)
+            cand_pos = cand_pos.reshape(batch, -1)
+            scores = jnp.where(cand_pos < num_items, scores, NEG_INF)
+            if excl is not None:
+                hit = jnp.any(
+                    cand_pos[:, :, None] == excl[:, None, :], axis=-1
+                )
+                scores = jnp.where(hit, NEG_INF, scores)
+            k_eff = min(k, scores.shape[1])
+            top_scores, arg = jax.lax.top_k(scores, k_eff)
+            top_pos = jnp.take_along_axis(cand_pos, arg, axis=-1)
+            # triangle bound per (query, cluster); probed clusters are
+            # out of the max (their items were scored exactly)
+            q_norm = jnp.linalg.norm(qf, axis=-1, keepdims=True)
+            upper = cluster_scores + q_norm * radii[None, :]
+            n_clusters = centroids.shape[0]
+            probed = jnp.any(
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (batch, n_clusters), 1
+                )[:, :, None]
+                == probe_ids[:, None, :],
+                axis=-1,
+            )
+            unprobed_max = jnp.max(
+                jnp.where(probed, NEG_INF, upper), axis=-1
+            )
+            # CERT_SLACK covers the bf16 cast of q inside the bucket
+            # einsum (the bound itself is f32): served scores sit within
+            # the slack of the exact dot against the served vectors
+            exact = top_scores[:, k_eff - 1] >= unprobed_max + CERT_SLACK
+            return top_scores, top_pos, exact
+
         # None excl traces as an empty pytree: the no-exclusion and
         # exclusion variants each get one cache entry
         self._probe_fn = jax.jit(probe, static_argnames=("k", "nprobe"))
+        self._probe_certified_fn = jax.jit(
+            probe_certified, static_argnames=("k", "nprobe")
+        )
         self._id_to_pos = {int(i): p for p, i in enumerate(self.ids)}
 
     def __len__(self) -> int:
@@ -384,6 +458,65 @@ class IVFIndex:
             valid, self.ids[np.clip(positions, 0, self._num_items - 1)], -1
         )
         return np.asarray(scores), item_ids
+
+    def search_certified(
+        self,
+        queries: np.ndarray | Array,
+        *,
+        top_k: int,
+        nprobe: int | None = None,
+        exclude_ids: list[list[int]] | None = None,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Probe search WITH a per-row exactness certificate.
+
+        Returns (scores, item_ids, exact). `exact[b]` is True when the
+        triangle bound proves no unprobed cluster can hold an item
+        scoring above row b's k-th found score: for every item x of
+        cluster c, q.x <= q.mu_c + ||q||*r_c (Cauchy-Schwarz over the
+        covering radius of the SERVED vectors), so
+
+            kth_found >= max_{c unprobed} (q.mu_c + ||q||*r_c) + slack
+
+        means the probed top-k IS the exhaustive top-k over the served
+        corpus (slack = CERT_SLACK covers the bf16 query cast in the
+        bucket scoring — the same "exact at a declared quantum" contract
+        as the packed scan's certificates). On corpora that cluster
+        (real embedding manifolds) certification fires at practical
+        nprobe; on adversarial uniform-random corpora the bound is
+        vacuous and `exact` stays False — callers fall back to the
+        exhaustive guaranteed scan for those rows (the serving engine's
+        `ivf_certified` mode does exactly that). Exclusions only make
+        the certificate conservative, never unsound: excluded items can
+        only LOWER what an unprobed cluster could contribute.
+        """
+        queries = jnp.asarray(queries)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        nprobe = min(
+            nprobe if nprobe is not None else self.nprobe,
+            self.num_clusters,
+        )
+        excl = (
+            jnp.asarray(self.positions_of(exclude_ids))
+            if exclude_ids is not None
+            else None
+        )
+        scores, positions, exact = self._probe_certified_fn(
+            queries,
+            top_k,
+            nprobe,
+            self.centroids,
+            self.radii,
+            self.buckets,
+            self.positions,
+            excl,
+        )
+        positions = np.asarray(positions)
+        valid = positions < self._num_items
+        item_ids = np.where(
+            valid, self.ids[np.clip(positions, 0, self._num_items - 1)], -1
+        )
+        return np.asarray(scores), item_ids, np.asarray(exact)
 
     def recall_probe(
         self,

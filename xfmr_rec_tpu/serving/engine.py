@@ -73,6 +73,7 @@ class RecommenderEngine:
         nprobe: int = 8,
         ivf_min_recall: float = 0.5,
         ivf_enforce_recall: bool = False,
+        ivf_certified: bool = False,
         model_parallel: int | None = None,
     ) -> None:
         from flax import serialization
@@ -142,6 +143,11 @@ class RecommenderEngine:
             self.index = RetrievalIndex.load(path / "index")
         self.index_kind = index_kind
         self.ivf = None
+        # ivf_certified: serve from the IVF probe when its triangle-bound
+        # certificate proves exhaustive-exactness for the row, and fall
+        # back to the exact index otherwise — ANN latency with the exact
+        # contract intact (index/ivf.py search_certified)
+        self._ivf_certified = bool(ivf_certified)
         if index_kind == "ivf":
             import hashlib
 
@@ -340,11 +346,26 @@ class RecommenderEngine:
             np.asarray(query.embedding, dtype=np.float32)
         )
         if self.ivf is not None:
-            scores, item_ids = self.ivf.search(
-                embedding,
-                top_k=top_k,
-                exclude_ids=[list(exclude_item_ids or [])],
-            )
+            if self._ivf_certified:
+                scores, item_ids, exact = self.ivf.search_certified(
+                    embedding,
+                    top_k=top_k,
+                    exclude_ids=[list(exclude_item_ids or [])],
+                )
+                if not bool(exact[0]):
+                    # certificate didn't fire: the exact index answers
+                    # (same contract as the guaranteed scan's fallback)
+                    scores, item_ids = self.index.search(
+                        embedding,
+                        top_k=top_k,
+                        exclude_ids=[list(exclude_item_ids or [])],
+                    )
+            else:
+                scores, item_ids = self.ivf.search(
+                    embedding,
+                    top_k=top_k,
+                    exclude_ids=[list(exclude_item_ids or [])],
+                )
         else:
             scores, item_ids = self.index.search(
                 embedding,
