@@ -1,5 +1,6 @@
-"""Model zoo: text tokenizer + flax dual text encoder + history tower."""
+"""Model zoo: tokenizer + dual text encoder + history tower + CF channel."""
 
+from xfmr_rec_tpu.models.cf import CFChannel, factorize_item_cf
 from xfmr_rec_tpu.models.encoder import ModelConfig, TextEncoder, init_encoder
 from xfmr_rec_tpu.models.history import (
     HistoryFusion,
@@ -9,12 +10,14 @@ from xfmr_rec_tpu.models.history import (
 from xfmr_rec_tpu.models.tokenizer import HashingTokenizer, TokenizerConfig
 
 __all__ = [
+    "CFChannel",
     "HashingTokenizer",
     "HistoryFusion",
     "ModelConfig",
     "TextEncoder",
     "TokenizerConfig",
     "TwoTowerModel",
+    "factorize_item_cf",
     "init_encoder",
     "init_two_tower",
 ]
