@@ -427,3 +427,59 @@ class TestLRSchedule:
         cfg = TrainConfig(**TINY_MODEL)
         assert cfg.lr_schedule == "constant"
         assert cfg.total_steps is None
+
+
+class TestLogAllLossesKnob:
+    """log_all_losses=False computes only the train loss — IDENTICAL
+    updates (the other losses were forward-only aux), fewer metrics,
+    measurably faster steps (BENCH_NOTES round 4 MFU section)."""
+
+    def test_updates_identical_and_metrics_reduced(self):
+        import jax
+
+        from xfmr_rec_tpu.training.module import (
+            TrainConfig,
+            create_train_state,
+            make_train_step,
+        )
+
+        config = TrainConfig(
+            vocab_size=300,
+            max_position_embeddings=16,
+            max_length=8,
+            compute_dtype="float32",
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "user_tokens": rng.integers(1, 300, (8, 8)).astype(np.int32),
+            "item_tokens": rng.integers(1, 300, (8, 8)).astype(np.int32),
+            "neg_item_tokens": rng.integers(1, 300, (8, 8)).astype(
+                np.int32
+            ),
+            "target": rng.integers(1, 6, 8).astype(np.float32),
+            "item_idx": rng.integers(1, 100, 16).astype(np.int64),
+            "pos_idx": rng.integers(0, 100, (8, 4)).astype(np.int64),
+            "log_q": rng.normal(size=16).astype(np.float32),
+        }
+        _, state_a = create_train_state(config, rng=0)
+        _, state_b = create_train_state(config, rng=0)
+        full = jax.jit(make_train_step(config))
+        lean = jax.jit(make_train_step(config, log_all_losses=False))
+        new_a, m_full = full(state_a, batch)
+        new_b, m_lean = lean(state_b, batch)
+        assert set(m_lean) == {
+            f"train/{config.train_loss}",
+            "train/grad_norm",
+        }
+        assert len(m_full) > len(m_lean)
+        np.testing.assert_allclose(
+            float(m_full[f"train/{config.train_loss}"]),
+            float(m_lean[f"train/{config.train_loss}"]),
+            rtol=1e-6,
+        )
+        for a, b in zip(
+            jax.tree.leaves(new_a.params), jax.tree.leaves(new_b.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )

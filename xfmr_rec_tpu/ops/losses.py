@@ -324,8 +324,16 @@ def compute_losses(
     pos_idx: Array,
     config: LossConfig,
     log_q: Array | None = None,
+    names: tuple[str, ...] | None = None,
 ) -> dict[str, Array]:
-    """All losses at once — one fused jit region, shared similarity matrix."""
+    """All losses at once — one fused jit region, shared similarity matrix.
+
+    `names` restricts the family (default: every registered loss — the
+    reference logs all of them each step, lightning.py:137-147; passing
+    just the train loss gives identical updates with leaner metrics —
+    measured only ~2% faster, the family shares the similarity matrix:
+    `--trainer.log_all_losses false`, BENCH_NOTES round 4).
+    """
     return {
         name: compute_loss(
             name,
@@ -337,5 +345,5 @@ def compute_losses(
             config=config,
             log_q=log_q,
         )
-        for name in LOSS_NAMES
+        for name in (LOSS_NAMES if names is None else names)
     }

@@ -71,6 +71,7 @@ def make_sharded_train_step(
     *,
     shard_vocab: bool = False,
     state=None,
+    log_all_losses: bool = True,
 ):
     """Jit the train step with sharded-state output constraints.
 
@@ -81,7 +82,7 @@ def make_sharded_train_step(
     required when shard_vocab=True — output constraints need the tree
     structure.
     """
-    step = make_train_step(config)
+    step = make_train_step(config, log_all_losses=log_all_losses)
     replicated = NamedSharding(mesh, P())
     if not shard_vocab:
         return jax.jit(step, donate_argnums=0, out_shardings=replicated)

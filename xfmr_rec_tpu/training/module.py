@@ -125,6 +125,7 @@ def compute_batch_losses(
     batch: dict[str, Array],
     config: TrainConfig,
     dropout_rng: Array | None = None,
+    names: tuple[str, ...] | None = None,
 ) -> dict[str, Array]:
     """Encode the three towers in one pass and run the full loss family."""
     from xfmr_rec_tpu.models.history import needs_two_tower, uses_item_ids
@@ -183,12 +184,23 @@ def compute_batch_losses(
         pos_idx=batch["pos_idx"],
         config=loss_config(config),
         log_q=batch.get("log_q"),
+        names=names,
     )
 
 
-def make_train_step(config: TrainConfig):
-    """Build the jittable train step for a given static config."""
+def make_train_step(config: TrainConfig, *, log_all_losses: bool = True):
+    """Build the jittable train step for a given static config.
+
+    log_all_losses=True matches the reference (every registered loss
+    computed and logged each step, lightning.py:137-147); False computes
+    only the configured train loss — identical gradients/updates (the
+    extra losses were forward-only aux). MEASURED: only ~2% faster at
+    h32/B=4096 (65.0 -> 63.6 ms) — the loss family SHARES the
+    similarity matrix and masks, so the step cost lives in that shared
+    machinery + backward, not in loss multiplicity (BENCH_NOTES round 4
+    MFU section). The knob's value is leaner logs, not speed."""
     train_loss = config.train_loss
+    names = None if log_all_losses else (train_loss,)
 
     def train_step(
         state: TrainState, batch: dict[str, Array]
@@ -197,7 +209,8 @@ def make_train_step(config: TrainConfig):
 
         def objective(params):
             losses = compute_batch_losses(
-                state.apply_fn, params, batch, config, dropout_rng=step_rng
+                state.apply_fn, params, batch, config,
+                dropout_rng=step_rng, names=names,
             )
             return losses[train_loss], losses
 

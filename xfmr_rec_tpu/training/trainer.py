@@ -80,6 +80,11 @@ class TrainerConfig:
     # additionally sharded over the "model" axis (corpus parallelism).
     mesh: bool | None = None
     model_parallel: int = 1
+    # Log every registered loss each train step (the reference's
+    # behavior, lightning.py:137-147). False computes only the train
+    # loss — identical updates, leaner logs; measured only ~2% faster
+    # (the family shares the similarity matrix; BENCH_NOTES round 4).
+    log_all_losses: bool = True
     # Real model parallelism for training (off by default — the model
     # axis otherwise folds into data parallelism): shard the (vocab,
     # hidden) token-embedding table + its adam moments row-wise over the
@@ -250,6 +255,7 @@ class Trainer:
                 self.mesh,
                 shard_vocab=tc.shard_vocab,
                 state=self.state,
+                log_all_losses=tc.log_all_losses,
             )
             self._eval_step = jax.jit(
                 make_eval_loss_step(self.config), out_shardings=replicated
@@ -288,7 +294,10 @@ class Trainer:
                 )
         else:
             self._train_step = jax.jit(
-                make_train_step(self.config), donate_argnums=0
+                make_train_step(
+                    self.config, log_all_losses=tc.log_all_losses
+                ),
+                donate_argnums=0,
             )
             self._eval_step = jax.jit(make_eval_loss_step(self.config))
             self._encode = jax.jit(make_encode_fn(self.model))
