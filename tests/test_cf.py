@@ -362,3 +362,77 @@ class TestServingCF:
         assert engine.get_item(999001).movie_id == 999001
         out = engine.search_items(Query(text="drama"), top_k=5)
         assert len(out) == 5
+
+
+class TestCFShardedEval:
+    """CF columns through the model-parallel eval path: the corpus
+    shards over the model axis WITH its factor/pop columns and the
+    sharded top-k must agree with a dense numpy composition."""
+
+    def test_sharded_eval_matches_dense(self, tmp_path):
+        from xfmr_rec_tpu.data.module import DataConfig, RecDataModule
+        from xfmr_rec_tpu.training.module import TrainConfig
+        from xfmr_rec_tpu.training.trainer import Trainer, TrainerConfig
+
+        data = RecDataModule(
+            DataConfig(
+                data_dir=str(tmp_path / "data"),
+                synthetic_if_missing=True,
+                synthetic_users=40,
+                synthetic_movies=50,
+                synthetic_ratings=600,
+                max_length=16,
+                batch_size=16,
+            )
+        )
+        trainer = Trainer(
+            TrainConfig(
+                hidden_size=16,
+                num_hidden_layers=1,
+                num_attention_heads=2,
+                intermediate_size=16,
+                max_length=16,
+                cf_rank=8,
+                cf_weight=1.5,
+                cf_pop_weight=0.5,
+                index_dtype="float32",
+            ),
+            data=data,
+            trainer_config=TrainerConfig(
+                log_dir=str(tmp_path / "runs"),
+                max_steps=2,
+                limit_val_batches=1,
+                limit_val_loss_batches=1,
+                mesh=True,
+                model_parallel=2,
+            ),
+        )
+        trainer.fit()
+        assert trainer._sharded_corpus is not None  # model axis engaged
+        d = trainer.config.hidden_size
+        assert trainer._sharded_corpus.shape[1] == d + 8 + 1
+        # sharded top-k == dense composed top-k on real users
+        index = trainer.index
+        corpus = np.asarray(index.corpus, np.float32)
+        batch = next(trainer.data.eval_batches("val"))
+        users = trainer._eval_user_embeds(batch)
+        _, got_ids = trainer._sharded_search(
+            np.asarray(users), batch, top_k=5
+        )
+        dense = users @ corpus.T
+        excl = batch["exclude_positions"]
+        pos_of_id = {
+            int(m): p for p, m in enumerate(trainer.data.item_ids)
+        }
+        for i in range(len(users)):
+            e = excl[i]
+            e = e[(e >= 0) & (e < trainer.data.num_items)]
+            row = dense[i].copy()
+            row[e] = -np.inf
+            got_scores = sorted(
+                row[pos_of_id[int(g)]] for g in got_ids[i]
+            )
+            want_scores = sorted(np.sort(row[np.isfinite(row)])[-5:])
+            np.testing.assert_allclose(
+                got_scores, want_scores, atol=1e-4, err_msg=f"row {i}"
+            )
