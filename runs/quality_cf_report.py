@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import pathlib
+import tempfile
 import sys
 
 import numpy as np
@@ -37,7 +38,7 @@ def probe_run(run_dir: str) -> dict[str, float]:
     cfg = json.loads((run / "config.json").read_text())
     dm = RecDataModule(DataConfig.model_validate(cfg["data"]))
     tcfg = dict(cfg["trainer"])
-    tcfg["log_dir"] = str(run / "cf-report")
+    tcfg["log_dir"] = tempfile.mkdtemp(prefix="probe-logs-")  # probes report to stdout/BENCH_NOTES, not run dirs
     tcfg["run_name"] = ""
     trainer = Trainer(
         TrainConfig.model_validate(cfg["model"]),

@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import pathlib
+import tempfile
 import sys
 
 import numpy as np
@@ -102,7 +103,7 @@ def main() -> None:
     cfg = json.loads((run / "config.json").read_text())
     dm = RecDataModule(DataConfig.model_validate(cfg["data"]))
     tcfg = dict(cfg["trainer"])
-    tcfg["log_dir"] = str(run / "composition-probe")
+    tcfg["log_dir"] = tempfile.mkdtemp(prefix="probe-logs-")  # probes report to stdout/BENCH_NOTES, not run dirs
     tcfg["run_name"] = ""
     trainer = Trainer(
         TrainConfig.model_validate(cfg["model"]),

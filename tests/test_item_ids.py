@@ -419,3 +419,81 @@ class TestEndToEnd:
         trainer, _ = trained
         recs = trainer.recommend(['{"title":"Movie"}'], top_k=5)
         assert len(recs[0]) == 5
+
+    def test_serving_bag_matches_trainer_eval(
+        self, trained, tmp_path_factory
+    ):
+        """The packaged serving path must build the CF bag from the
+        user's history (round-4 advisor high finding: it silently
+        dropped the trained bag slot, so serving embeddings diverged
+        from the trainer's eval embeddings for max_bag>0 artifacts).
+        A user query carrying the user's full train history must
+        reproduce the trainer's eval embedding bit-for-bit-close."""
+        from xfmr_rec_tpu.serving.engine import RecommenderEngine
+        from xfmr_rec_tpu.serving.schemas import Activity, UserQuery
+
+        trainer, _ = trained
+        dm = trainer.data
+        path = tmp_path_factory.mktemp("bagart") / "model"
+        trainer.save(path)
+        engine = RecommenderEngine(path, warmup=False)
+        assert engine.model_config.max_bag > 0
+
+        # a user whose train history fills >= max_history slots and
+        # fits inside the bag (so provided-history == table contents)
+        upos = next(
+            u
+            for u, items in sorted(dm._train_items_by_user.items())
+            if trainer.config.max_history
+            <= len(items)
+            <= trainer.config.max_bag
+        )
+        bag_pos = dm.user_bag_pos[upos]
+        valid = bag_pos >= 0
+        # bag tables are most-recent-first; serve entries oldest-first
+        # with ascending datetimes so the engine's most-recent-first
+        # reconstruction visits them in the same order
+        positions = bag_pos[valid][::-1]
+        ratings = dm.user_bag_rating[upos][valid][::-1]
+        history = [
+            Activity(
+                movie_id=int(dm.item_ids[p]),
+                rating=int(r),
+                datetime=j,
+                movie_rn=int(p) + 1,
+                movie_text="",
+            )
+            for j, (p, r) in enumerate(zip(positions, ratings))
+        ]
+        served = np.asarray(
+            engine.embed_user_query(
+                UserQuery(
+                    user_id=int(dm.user_ids[upos]),
+                    user_text=dm.user_texts[upos],
+                    history=history,
+                )
+            ).embedding
+        )
+        expect = trainer.eval_user_embeddings(np.asarray([upos]))[0]
+        assert served.shape == expect.shape
+        # corpus.npz stores bf16-rounded embeddings, so the serving
+        # history gather differs from the trainer's f32 corpus by up to
+        # ~2^-9 relative — 2e-3 passes that and still fails hard when
+        # the bag slot is dropped (the fusion topology changes)
+        np.testing.assert_allclose(served, expect, atol=2e-3)
+
+        # and the bag slot is LIVE: an empty-history query must embed
+        # differently, and farther from the trainer's eval embedding
+        # than the full-history one (before the fix they were equal)
+        empty = np.asarray(
+            engine.embed_user_query(
+                UserQuery(
+                    user_id=int(dm.user_ids[upos]),
+                    user_text=dm.user_texts[upos],
+                )
+            ).embedding
+        )
+        assert np.abs(served - empty).max() > 1e-3
+        assert (
+            np.abs(served - expect).max() < np.abs(empty - expect).max()
+        )

@@ -332,6 +332,57 @@ class TestCertifiedIVF:
         for b in range(8):
             assert not set(banned[b].tolist()) & set(ids[b].tolist())
 
+    def test_small_candidate_pool_never_certifies(self):
+        """k_eff = nprobe*bucket_size < top_k: the probe cannot
+        materialize an exhaustive top-k, so `exact` must stay False
+        even when the triangle bound holds for the items it found —
+        otherwise callers skip their fallback and silently truncate
+        the result list (round-4 advisor low finding)."""
+        corpus, mus = self._clustered_corpus(n=64, centers=8, sigma=0.02)
+        index = IVFIndex(
+            corpus, np.arange(len(corpus)), num_clusters=8, nprobe=1
+        )
+        top_k = index.bucket_size * 1 + 4  # provably > candidate pool
+        queries = mus[:4].astype(np.float32)
+        scores, ids, exact = index.search_certified(
+            queries, top_k=top_k, nprobe=1
+        )
+        assert not exact.any()
+
+    def test_scaled_corpus_certificates_stay_sound(self):
+        """Certificates on a corpus with row norms >> 1 (the engine's
+        bias/CF-extended corpora): the slack must scale with
+        ||q|| * max_row_norm (round-4 advisor medium finding — an
+        absolute slack is only sound for ~unit-norm data). Certified
+        rows must still match the dense oracle within the declared
+        relative quantum."""
+        corpus, mus = self._clustered_corpus()
+        corpus = corpus * 4.0  # row norms 4, not 1
+        index = IVFIndex(
+            corpus, np.arange(len(corpus)), num_clusters=16, nprobe=8
+        )
+        # measured over the SERVED (bf16-cast) vectors: ~4 within cast
+        np.testing.assert_allclose(index.max_row_norm, 4.0, rtol=1e-2)
+        rng = np.random.default_rng(7)
+        queries = (
+            mus[rng.integers(0, len(mus), 32)]
+            + 0.05 * rng.normal(size=(32, corpus.shape[1]))
+        ) * 2.0  # query norms ~2
+        queries = queries.astype(np.float32)
+        scores, ids, exact = index.search_certified(queries, top_k=5)
+        assert exact.any(), "tight clusters must certify some rows"
+        dense = queries @ corpus.T
+        from xfmr_rec_tpu.index.ivf import CERT_SLACK
+
+        q_norms = np.linalg.norm(queries, axis=1)
+        for b in np.flatnonzero(exact):
+            slack = CERT_SLACK * q_norms[b] * index.max_row_norm
+            kth_dense = np.sort(dense[b])[-5]
+            got = dense[b, ids[b]]
+            assert (got >= kth_dense - 2 * slack).all(), (
+                b, got, kth_dense,
+            )
+
     def test_engine_certified_mode_matches_exact(self, tmp_path_factory):
         from tests.test_serving import build_artifact
         from xfmr_rec_tpu.serving.engine import RecommenderEngine

@@ -221,6 +221,19 @@ class RecDataModule:
         movies = movies.sort_values("movie_rn").reset_index(drop=True)
         self.item_ids = movies["movie_id"].to_numpy()
         self.item_rns = movies["movie_rn"].to_numpy()
+        # the whole pipeline derives movie_rn as position+1 (item_idx,
+        # hist_rns, bag_rns) while the corpus stores this column — a
+        # non-contiguous or non-1-based movie_rn would silently desync
+        # train-time ID embeddings from the corpus/serving ones, so the
+        # correspondence is enforced here instead of assumed
+        if not np.array_equal(
+            self.item_rns, np.arange(1, len(movies) + 1)
+        ):
+            raise ValueError(
+                "movies.parquet movie_rn must be the contiguous 1-based "
+                "row number (position+1); got a non-contiguous column — "
+                "re-run data preparation (data/prepare.py assigns rns)"
+            )
         self.item_texts = movies["movie_text"].tolist()
         self.item_tokens = self.tokenizer.encode_batch(self.item_texts)
         self.num_items = len(movies)

@@ -38,11 +38,18 @@ import numpy as np
 from jax import Array
 
 NEG_INF = float("-inf")
-# certificate slack for bf16-stored buckets: the probe scores
-# fl(cast_bf16(q) . x_served) with f32 accumulation, so the computed
-# score can sit up to ~||q||*||x||*2^-8 from the exact f32 dot against
-# the served vectors; 2^-7 covers it with 2x margin for unit-norm data
-# (the f32-bucket path is tighter; the same constant stays sound).
+# RELATIVE certificate slack coefficient for bf16-stored buckets: the
+# probe scores fl(cast_bf16(q) . x_served) with f32 accumulation, so
+# the computed score can sit up to ~||q||*||x||*2^-9 from the exact f32
+# dot against the served vectors (bf16 elementwise cast is a <=2^-9
+# relative perturbation of q). The certificate therefore uses
+#   slack = CERT_SLACK * ||q|| * max_row_norm
+# per query (4x margin; max_row_norm is measured over the served
+# vectors at build time) — an ABSOLUTE 2^-7 would be sound only for
+# ~unit-norm data, while the engine's ivf_certified path runs on
+# bias/CF-extended corpora where ||q||*||x|| can exceed 2-4 (round-4
+# advisor medium finding). The f32-bucket path is tighter; the same
+# coefficient stays sound.
 CERT_SLACK = 2.0**-7
 
 
@@ -303,6 +310,15 @@ class IVFIndex:
         self.radii = jnp.asarray(
             np.sqrt(diff_sq.max(axis=1)), jnp.float32
         )
+        # max served row norm: scales the certificate slack relatively
+        # (see CERT_SLACK) so certification stays sound on corpora with
+        # extra scoring columns (bias / CF factors / popularity) whose
+        # row norms exceed 1
+        row_norm_sq = np.where(slot_valid, (served**2).sum(-1), 0.0)
+        self.max_row_norm = float(
+            np.sqrt(row_norm_sq.max()) if num_items else 1.0
+        )
+        max_row_norm = max(self.max_row_norm, 1e-12)
 
         def probe(q, k, nprobe, centroids, buckets, positions, excl):
             q = q.astype(jnp.float32)
@@ -378,10 +394,19 @@ class IVFIndex:
             unprobed_max = jnp.max(
                 jnp.where(probed, NEG_INF, upper), axis=-1
             )
-            # CERT_SLACK covers the bf16 cast of q inside the bucket
-            # einsum (the bound itself is f32): served scores sit within
-            # the slack of the exact dot against the served vectors
-            exact = top_scores[:, k_eff - 1] >= unprobed_max + CERT_SLACK
+            # relative slack CERT_SLACK * ||q|| * max_row_norm covers
+            # the bf16 cast of q inside the bucket einsum (the bound
+            # itself is f32): served scores sit within the slack of the
+            # exact dot against the served vectors, at any corpus scale
+            slack = CERT_SLACK * q_norm[:, 0] * max_row_norm
+            exact = top_scores[:, k_eff - 1] >= unprobed_max + slack
+            if k_eff < k:
+                # fewer candidates than requested: the certificate only
+                # proves the k_eff found items dominate unprobed
+                # clusters — it is NOT an exhaustive top-k, so never
+                # claim exactness (callers would skip their fallback
+                # and silently truncate the result list)
+                exact = jnp.zeros_like(exact)
             return top_scores, top_pos, exact
 
         # None excl traces as an empty pytree: the no-exclusion and
@@ -478,9 +503,12 @@ class IVFIndex:
             kth_found >= max_{c unprobed} (q.mu_c + ||q||*r_c) + slack
 
         means the probed top-k IS the exhaustive top-k over the served
-        corpus (slack = CERT_SLACK covers the bf16 query cast in the
-        bucket scoring — the same "exact at a declared quantum" contract
-        as the packed scan's certificates). On corpora that cluster
+        corpus (slack = CERT_SLACK * ||q|| * max_row_norm covers the
+        bf16 query cast in the bucket scoring at any corpus/query norm —
+        the same "exact at a declared quantum" contract as the packed
+        scan's certificates). When the probed candidate pool is smaller
+        than top_k, `exact` is forced False: the certificate cannot
+        prove an exhaustive top-k it did not materialize. On corpora that cluster
         (real embedding manifolds) certification fires at practical
         nprobe; on adversarial uniform-random corpora the bound is
         vacuous and `exact` stays False — callers fall back to the

@@ -68,7 +68,13 @@ class NativeBM25:
 
     def __init__(self, docs: list[str]) -> None:
         self._lib = _load()
-        encoded = [doc.encode("utf-8") for doc in docs]
+        # Pre-lowercase with Python's UNICODE str.lower() before
+        # marshaling: the C++ tokenizer lowercases byte-wise ASCII only,
+        # so text whose Unicode lowercase maps into ASCII (Kelvin sign
+        # -> 'k', 'İ' -> 'i'+combining dot) would otherwise tokenize
+        # differently from the Python oracle, making search results
+        # host-dependent (round-4 advisor finding).
+        encoded = [doc.lower().encode("utf-8") for doc in docs]
         blob = b"".join(encoded)
         offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
         np.cumsum([len(e) for e in encoded], out=offsets[1:])
@@ -80,7 +86,7 @@ class NativeBM25:
     def search(self, query: str, top_k: int = 10) -> list[tuple[int, float]]:
         rows = np.zeros(max(top_k, 1), dtype=np.int32)
         scores = np.zeros(max(top_k, 1), dtype=np.float32)
-        raw = query.encode("utf-8")
+        raw = query.lower().encode("utf-8")  # Unicode lower, see __init__
         count = self._lib.bm25_search(
             self._handle, raw, len(raw), top_k, rows, scores
         )

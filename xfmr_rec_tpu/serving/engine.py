@@ -603,14 +603,37 @@ class RecommenderEngine:
         hist_pos[0, : len(positions)] = positions
         hist_mask[0, : len(positions)] = True
         hist_rat[0, : len(ratings)] = ratings
+        fuse_args = [hist_pos, hist_mask, hist_rat]
+        if self.model_config.max_bag > 0:
+            # CF-bag inputs, mirroring Trainer._eval_user_embeds /
+            # data/module.py _build_bag_arrays: the user's most recent
+            # max_bag known interactions, most-recent-first, as
+            # movie_rn (= corpus position + 1, asserted at prepare
+            # time) + integer ratings. Without this the trained bag
+            # slot would silently go unused at serving time
+            # (train/serve skew — round-4 advisor high finding).
+            bag_len = self.model_config.max_bag
+            bag_rns = np.zeros((1, bag_len), np.int32)
+            bag_rat = np.zeros((1, bag_len), np.int32)
+            bag_mask = np.zeros((1, bag_len), bool)
+            filled = 0
+            for entry in reversed(entries):  # most recent first
+                pos = self._hist_pos_of_id.get(int(entry.movie_id))
+                if pos is None:
+                    continue
+                bag_rns[0, filled] = pos + 1
+                bag_rat[0, filled] = int(entry.rating)
+                bag_mask[0, filled] = True
+                filled += 1
+                if filled == bag_len:
+                    break
+            fuse_args += [bag_rns, bag_rat, bag_mask]
         embedding = np.asarray(
             self._fuse_user(
                 self.params,
                 tokens,
                 self._hist_corpus,
-                hist_pos,
-                hist_mask,
-                hist_rat,
+                *fuse_args,
             )
         )[0]
         if self.cf is not None:
