@@ -124,6 +124,8 @@ def mine(u, c, target, item_idx, pos_idx, k, sigma, log_q=None):
     total = 0.0
     for i in range(b):
         keep = [j for j in range(logits.shape[1]) if masks[i, j]]
+        if not keep:  # no valid negatives: the row contributes 0
+            continue
         row = [logits[i, j] for j in keep]
         if log_q is not None:
             row = [v - log_q[j] for v, j in zip(row, keep)]

@@ -115,6 +115,63 @@ class TestMasking:
             got, np.array([[False, False, True, True, False]])
         )
 
+    def test_all_duplicate_batch_every_loss_finite_with_grads(self):
+        """Fully-masked rows (every candidate an accidental hit) must
+        contribute 0, never -inf/NaN — MINE previously leaked
+        logsumexp(-inf) into the batch sum (round-5 verify drive)."""
+        import jax
+        import jax.numpy as jnp
+
+        u, c, target, _, pos_idx = make_batch(seed=13)
+        item_idx = np.ones(2 * u.shape[0], np.int64)  # all duplicates
+        config = LossConfig(num_negatives=4)
+        losses = compute_losses(
+            jnp.asarray(u), jnp.asarray(c), jnp.asarray(target),
+            item_idx=jnp.asarray(item_idx),
+            pos_idx=jnp.asarray(pos_idx), config=config,
+        )
+        for name, value in losses.items():
+            assert np.isfinite(float(value)), (name, float(value))
+        grad = jax.grad(
+            lambda uu: compute_losses(
+                uu, jnp.asarray(c), jnp.asarray(target),
+                item_idx=jnp.asarray(item_idx),
+                pos_idx=jnp.asarray(pos_idx), config=config,
+            )["MutualInformationNeuralEstimationLoss"]
+        )(jnp.asarray(u))
+        assert np.isfinite(np.asarray(grad)).all()
+
+    @pytest.mark.parametrize("k", [1, 2, 5, 16])
+    def test_argmax_select_matches_sort_select(self, k):
+        """The sort-free top-k selection (k argmax+knockout passes, the
+        round-5 train-step fast path) must pick the SAME set as
+        lax.top_k, including on ties (both resolve equal scores to the
+        lowest index)."""
+        import jax
+        import jax.numpy as jnp
+
+        from xfmr_rec_tpu.ops import masking
+
+        rng = np.random.default_rng(11)
+        # quantized scores force many exact ties at the k boundary
+        scores = rng.integers(0, 4, size=(16, 64)).astype(np.float32)
+        masks = rng.random((16, 64)) < 0.8
+
+        def sort_select(masks, scores, k):
+            _, indices = jax.lax.top_k(scores, k)
+            rows = np.arange(masks.shape[0])[:, None]
+            sel = np.zeros(masks.shape, dtype=bool)
+            sel[rows, np.asarray(indices)] = True
+            return masks & sel
+
+        got = np.asarray(
+            masking._restrict_to_topk(
+                jnp.asarray(masks), jnp.asarray(scores), k
+            )
+        )
+        want = sort_select(masks, scores, k)
+        np.testing.assert_array_equal(got, want)
+
     def test_mining_at_most_k_survivors(self):
         u, c, target, item_idx, pos_idx = make_batch(seed=4)
         logits = oracle.signed_logits(u, c, target, 1.0)
@@ -197,6 +254,103 @@ class TestLossParity:
             u, c, target, item_idx, pos_idx, k, sigma, margin, "logistic"
         )
         np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+class TestMAWU:
+    """MAWULoss (Park et al., CIKM'23): margin-aware alignment +
+    per-side weighted uniformity."""
+
+    def test_zero_margin_equals_hand_formula(self):
+        """m=0: alignment reduces to DirectAU's squared-distance form
+        (1 - cos = ||u-i||^2/2 on unit vectors); uniformity terms use
+        the per-side weights."""
+        from xfmr_rec_tpu.ops.losses import _uniformity
+
+        u, c, target, item_idx, pos_idx = make_batch(seed=21)
+        config = LossConfig(margin=0.0, gamma=0.4, gamma_user=0.9)
+        got = float(
+            compute_loss(
+                "MAWULoss", u, c, target,
+                item_idx=item_idx, pos_idx=pos_idx, config=config,
+            )
+        )
+        b = u.shape[0]
+        halfsq = 0.5 * ((u - c[:b]) ** 2).sum(-1)
+        w = np.maximum(target, 0.0)
+        align = float((halfsq * w).sum() / w.sum())
+        want = (
+            align
+            + 0.9 * float(_uniformity(u))
+            + 0.4 * float(_uniformity(c[:b]))
+        )
+        assert np.isclose(got, want, rtol=1e-4)
+
+    def test_margin_changes_gradients_not_just_value(self):
+        """The angular margin must pass through the cos nonlinearity:
+        gradients at m=0.3 differ from m=0 (an additive cosine margin
+        would shift the value but leave gradients untouched)."""
+        import jax
+        import jax.numpy as jnp
+
+        from xfmr_rec_tpu.ops.losses import mawu_loss
+
+        u, c, target, item_idx, pos_idx = make_batch(seed=22)
+
+        def loss_at(margin):
+            config = LossConfig(margin=margin, gamma=0.0)
+            return jax.grad(
+                lambda ue: mawu_loss(
+                    ue, jnp.asarray(c), jnp.asarray(target),
+                    item_idx=item_idx, pos_idx=pos_idx, config=config,
+                )
+            )(jnp.asarray(u))
+
+        g0 = np.asarray(loss_at(0.0))
+        g3 = np.asarray(loss_at(0.3))
+        assert np.isfinite(g0).all() and np.isfinite(g3).all()
+        assert np.abs(g0 - g3).max() > 1e-4
+
+    def test_gamma_user_defaults_to_gamma(self):
+        u, c, target, item_idx, pos_idx = make_batch(seed=23)
+        a = float(
+            compute_loss(
+                "MAWULoss", u, c, target, item_idx=item_idx,
+                pos_idx=pos_idx, config=LossConfig(gamma=0.8),
+            )
+        )
+        b = float(
+            compute_loss(
+                "MAWULoss", u, c, target, item_idx=item_idx,
+                pos_idx=pos_idx,
+                config=LossConfig(gamma=0.8, gamma_user=0.8),
+            )
+        )
+        assert np.isclose(a, b, rtol=1e-6)
+
+    def test_identical_pair_grad_finite(self):
+        """cos == 1 (user equals item) sits at arccos's singular point;
+        the clip must keep gradients finite."""
+        import jax
+        import jax.numpy as jnp
+
+        from xfmr_rec_tpu.ops.losses import mawu_loss
+
+        b, dim = 4, 6
+        rng = np.random.default_rng(24)
+        x = rng.normal(size=(b, dim))
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        c = np.concatenate([x, x])  # items identical to users
+        target = np.full(b, 5.0)
+        item_idx = np.arange(1, 2 * b + 1)
+        pos_idx = np.zeros((b, 2), dtype=np.int64)
+        config = LossConfig(margin=0.3, gamma=1.0)
+        grad = jax.grad(
+            lambda ue: mawu_loss(
+                ue, jnp.asarray(c), jnp.asarray(target),
+                item_idx=item_idx, pos_idx=pos_idx, config=config,
+            )
+        )(jnp.asarray(x))
+        assert np.isfinite(np.asarray(grad)).all()
 
 
 class TestDirectAU:

@@ -43,8 +43,19 @@ def generate_movielens(
     num_ratings: int = 4000,
     num_archetypes: int = 4,
     seed: int = 0,
+    text_signal: bool = False,
 ) -> pathlib.Path:
-    """Write synthetic .dat files under `dest_dir`/ml-1m/. Returns that dir."""
+    """Write synthetic .dat files under `dest_dir`/ml-1m/. Returns that dir.
+
+    `text_signal=True` makes user ATTRIBUTES predictive of the user's
+    latent archetype (occupation/age/gender drawn conditioned on it, 80%
+    concentration) — without it the user profile text carries ZERO
+    preference information, so text-tower quality is capped at the
+    popularity/itemCF ceiling by construction (the round-4 finding:
+    flagship val NDCG saturated exactly at the non-learned ceiling).
+    Item text always carries archetype signal (genres). Default False
+    preserves the byte-exact rng stream of earlier corpora.
+    """
     rng = np.random.default_rng(seed)
     out_dir = pathlib.Path(dest_dir, "ml-1m")
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -77,9 +88,31 @@ def generate_movielens(
     # users.dat: user_id::gender::age::occupation::zipcode
     user_lines = []
     for user_id in range(1, num_users + 1):
-        gender = "MF"[int(rng.integers(0, 2))]
-        age = _AGES[int(rng.integers(len(_AGES)))]
-        occupation = int(rng.integers(0, _OCCUPATION_COUNT))
+        if text_signal:
+            # attributes concentrate around the archetype so the
+            # profile text predicts preferences: occupation lands in
+            # the archetype's band 80% of the time, age/gender lean
+            # the same way (softer: 70/60%)
+            arch = int(user_arch[user_id - 1])
+            band = _OCCUPATION_COUNT // num_archetypes or 1
+            if rng.random() < 0.8:
+                occupation = (
+                    arch * band + int(rng.integers(0, band))
+                ) % _OCCUPATION_COUNT
+            else:
+                occupation = int(rng.integers(0, _OCCUPATION_COUNT))
+            if rng.random() < 0.7:
+                age = _AGES[arch % len(_AGES)]
+            else:
+                age = _AGES[int(rng.integers(len(_AGES)))]
+            if rng.random() < 0.6:
+                gender = "MF"[arch % 2]
+            else:
+                gender = "MF"[int(rng.integers(0, 2))]
+        else:
+            gender = "MF"[int(rng.integers(0, 2))]
+            age = _AGES[int(rng.integers(len(_AGES)))]
+            occupation = int(rng.integers(0, _OCCUPATION_COUNT))
         zipcode = f"{int(rng.integers(10000, 99999)):05d}"
         user_lines.append(f"{user_id}::{gender}::{age}::{occupation}::{zipcode}")
     (out_dir / "users.dat").write_text(
@@ -93,12 +126,21 @@ def generate_movielens(
     mean_per_user = max(4, num_ratings // num_users)
     lines = []
     seen: set[tuple[int, int]] = set()
+    # per-archetype movie id lists, precomputed ONCE — a flatnonzero
+    # scan inside the user loop is O(users * movies) and blocks
+    # multi-million-item corpora (10M movies x 200k users = 2e12 scans)
+    arch_match = [
+        np.flatnonzero(movie_arch == a) + 1 for a in range(num_archetypes)
+    ]
+    arch_other = [
+        np.flatnonzero(movie_arch != a) + 1 for a in range(num_archetypes)
+    ]
     for user_id in range(1, num_users + 1):
         per_user = 4 + int(rng.pareto(2.0) * mean_per_user)
         per_user = min(per_user, 4 * mean_per_user, num_movies // 2)
         arch = user_arch[user_id - 1]
-        match = np.flatnonzero(movie_arch == arch) + 1
-        other = np.flatnonzero(movie_arch != arch) + 1
+        match = arch_match[arch]
+        other = arch_other[arch]
         t = _BASE_TIMESTAMP + int(rng.integers(0, 10_000_000))
         for _ in range(per_user):
             if rng.random() < 0.7 and len(match) > 0:
@@ -127,6 +169,7 @@ def main() -> None:
     parser.add_argument("--num_movies", type=int, default=3883)
     parser.add_argument("--num_ratings", type=int, default=1_000_000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--text_signal", action="store_true")
     args = parser.parse_args()
     out = generate_movielens(
         args.data_dir,
@@ -134,6 +177,7 @@ def main() -> None:
         num_movies=args.num_movies,
         num_ratings=args.num_ratings,
         seed=args.seed,
+        text_signal=args.text_signal,
     )
     print(f"synthetic corpus written to {out}")
 

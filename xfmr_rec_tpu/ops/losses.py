@@ -54,6 +54,9 @@ class LossConfig:
     # hinge semantics (HPO samples it in [-1, 1]) would zero or negate
     # the uniformity term
     gamma: float = 1.0
+    # MAWU user-side uniformity weight; None = use gamma for both sides
+    # (the paper's gamma_1/gamma_2 are dataset-dependent and distinct)
+    gamma_user: float | None = None
     use_logq_correction: bool = False
 
 
@@ -149,8 +152,20 @@ def mine_loss(
     corrected = logits
     if config.use_logq_correction and log_q is not None:
         corrected = logits - log_q[None, :]
-    negative_score = jax.nn.logsumexp(corrected + mask_log(masks), axis=-1)
-    loss = -jnp.diagonal(logits) + negative_score
+    # rows with zero valid negatives (every candidate an accidental hit)
+    # contribute 0, like the rest of the family — an all-masked row
+    # would otherwise make logsumexp -inf and poison the batch sum /
+    # gradients. The dummy first-column entry keeps logsumexp's input
+    # finite so the zeroed rows don't backprop NaN (the where-grad trap).
+    has_neg = jnp.any(masks, axis=-1)
+    first_col = (
+        jax.lax.broadcasted_iota(jnp.int32, masks.shape, 1) == 0
+    )
+    safe_masks = masks | (~has_neg[:, None] & first_col)
+    negative_score = jax.nn.logsumexp(
+        corrected + mask_log(safe_masks), axis=-1
+    )
+    loss = (-jnp.diagonal(logits) + negative_score) * has_neg
     return jnp.sum(loss * jnp.abs(target))
 
 
@@ -277,6 +292,56 @@ def direct_au_loss(
     return align + config.gamma * uniform
 
 
+def mawu_loss(
+    user_embed, item_embed, target, *, item_idx, pos_idx, config, log_q=None
+) -> Array:
+    """MAWU: Margin-aware Alignment + Weighted Uniformity (Park et al.,
+    CIKM'23, "Toward a Better Understanding of Loss Functions for
+    Collaborative Filtering").
+
+    Named in this rebuild's target configs alongside CCL/DirectAU;
+    absent from the reference snapshot (like DirectAULoss).
+
+    Margin-aware alignment adds an ANGULAR margin to each positive
+    pair: align = E_pos[1 - cos(theta_ui + m)]. The margin passes
+    through the cosine nonlinearity (cos(theta+m) = cos.cos(m) -
+    sin.sin(m)), so it reshapes gradients near convergence — an
+    additive cosine margin would be a constant shift with zero
+    gradient effect. At m=0 this reduces to DirectAU's alignment (on
+    unit vectors 1 - cos = ||u-i||^2 / 2 = squared_distance).
+
+    Weighted uniformity keeps DirectAU's two uniformity terms but
+    weighs each side separately (the paper's dataset-dependent
+    gamma_1/gamma_2): user side by config.gamma_user (falls back to
+    gamma), item side by config.gamma.
+
+    Margin semantics: config.margin is RADIANS here (paper-practical
+    range ~0.05-0.5). The family default margin=1.0 is the pairwise
+    hinge's; set it explicitly for MAWU runs.
+    """
+    batch = user_embed.shape[0]
+    dist = jnp.diagonal(
+        squared_distance(user_embed, item_embed[:batch])
+    )
+    cos = jnp.clip(1.0 - dist, -1.0 + 1e-6, 1.0 - 1e-6)
+    theta = jnp.arccos(cos)
+    align = weighted_mean(
+        (1.0 - jnp.cos(theta + config.margin)) * config.sigma,
+        jnp.maximum(target, 0.0),
+    )
+    if batch < 2:
+        return align
+    g_item = config.gamma
+    g_user = (
+        config.gamma if config.gamma_user is None else config.gamma_user
+    )
+    return (
+        align
+        + g_user * _uniformity(user_embed)
+        + g_item * _uniformity(item_embed[:batch])
+    )
+
+
 # Registry — names match the reference concrete classes (losses.py:249-359)
 # so configs written for the reference select the same objective here.
 # DirectAULoss is an extension: README-promised, absent from the snapshot.
@@ -285,6 +350,7 @@ LOSSES = {
     "ContrastiveLoss": contrastive_loss,
     "AlignmentContrastiveLoss": alignment_contrastive_loss,
     "DirectAULoss": direct_au_loss,
+    "MAWULoss": mawu_loss,
     "InfomationNoiseContrastiveEstimationLoss": infonce_loss,
     "MutualInformationNeuralEstimationLoss": mine_loss,
     "PairwiseHingeLoss": pairwise_hinge_loss,

@@ -59,16 +59,42 @@ def negative_masks(
     return ~accidental_hits
 
 
+# mining keeps only a handful of negatives (reference default 4); above
+# this the successive-argmax selection stops paying for itself and the
+# sort-based top_k takes over
+_ARGMAX_SELECT_MAX_K = 32
+
+
 def _restrict_to_topk(masks: Array, scores: Array, k: int) -> Array:
-    """Keep only the top-k scoring entries of each row of `masks`."""
-    _, indices = jax.lax.top_k(scores, k)
-    batch_size, num_items = masks.shape
-    rows = jnp.arange(batch_size)[:, None]
-    selected = (
-        jnp.zeros((batch_size, num_items), dtype=bool)
-        .at[rows, indices]
-        .set(True)
-    )
+    """Keep only the top-k scoring entries of each row of `masks`.
+
+    For the tiny k of negative mining the selection runs as k unrolled
+    argmax+knockout passes instead of `lax.top_k`: XLA lowers top_k to
+    a full bitonic sort of each (num_items,) row — O(log^2 n) passes
+    over the (B, 2B) score matrix, the measured round-4 train-step
+    bottleneck at h32 (~1.5% MFU, BENCH_NOTES) — while k argmax passes
+    are O(k) VPU reductions. Tie semantics match lax.top_k exactly:
+    equal scores resolve to the lowest index first, so the selected SET
+    is identical (pinned against the sort path in tests/test_losses.py).
+    """
+    if k > _ARGMAX_SELECT_MAX_K:
+        _, indices = jax.lax.top_k(scores, k)
+        batch_size, num_items = masks.shape
+        rows = jnp.arange(batch_size)[:, None]
+        selected = (
+            jnp.zeros((batch_size, num_items), dtype=bool)
+            .at[rows, indices]
+            .set(True)
+        )
+        return masks & selected
+    num_items = scores.shape[-1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    selected = jnp.zeros_like(masks)
+    for _ in range(k):
+        best = jnp.argmax(scores, axis=-1)  # first index on ties
+        hit = cols == best[:, None]
+        selected |= hit
+        scores = jnp.where(hit, NEG_INF, scores)
     return masks & selected
 
 

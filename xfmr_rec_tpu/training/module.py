@@ -52,6 +52,11 @@ class TrainConfig(ModelConfig):
     use_logq_correction: bool = False
     # DirectAULoss uniformity weight (paper range 0.2-10)
     gamma: float = 1.0
+    # MAWULoss user-side uniformity weight; None = use gamma for both
+    gamma_user: float | None = None
+    # dropout mask generator: rbg = TPU hardware RNG (faster, default),
+    # threefry = bit-exact replay of pre-round-5 checkpointed runs
+    dropout_rng_impl: Literal["rbg", "threefry"] = "rbg"
     # retrieval index storage (int8 = per-item quantization, 2x catalog
     # capacity per chip at bf16 speed — see index/mips.py); validated at
     # config parse so a typo fails before training spends time
@@ -115,6 +120,7 @@ def loss_config(config: TrainConfig) -> LossConfig:
         sigma=config.sigma,
         margin=config.margin,
         gamma=config.gamma,
+        gamma_user=config.gamma_user,
         use_logq_correction=config.use_logq_correction,
     )
 
@@ -206,6 +212,23 @@ def make_train_step(config: TrainConfig, *, log_all_losses: bool = True):
         state: TrainState, batch: dict[str, Array]
     ) -> tuple[TrainState, dict[str, Array]]:
         step_rng = jax.random.fold_in(state.dropout_rng, state.step)
+        if config.dropout_rng_impl == "rbg":
+            # hardware RNG for the dropout masks: threefry bit-gen is
+            # pure VPU work and measurably taxes small-hidden steps
+            # (h32/B=4096: 57.0 -> 50.8 ms/step, runs probe round 5);
+            # the per-step fold_in above stays threefry (one tiny
+            # block), only the mask streams switch generator. Masks
+            # differ from threefry's — dropout is stochastic either
+            # way; set dropout_rng_impl=threefry for bit-exact replay
+            # of pre-round-5 runs.
+            data = (
+                step_rng
+                if jnp.issubdtype(step_rng.dtype, jnp.unsignedinteger)
+                else jax.random.key_data(step_rng)
+            )
+            step_rng = jax.random.wrap_key_data(
+                jnp.tile(data, 2), impl="rbg"
+            )
 
         def objective(params):
             losses = compute_batch_losses(

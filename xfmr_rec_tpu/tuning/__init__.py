@@ -5,6 +5,7 @@ from xfmr_rec_tpu.tuning.hpo import (
     AdaptiveSampler,
     PlateauStopper,
     SearchSpace,
+    TPESampler,
     TuneResult,
     tune,
     tune_adaptive,
@@ -14,6 +15,7 @@ __all__ = [
     "AdaptiveSampler",
     "PlateauStopper",
     "SearchSpace",
+    "TPESampler",
     "TrialExecutor",
     "TuneResult",
     "tune",

@@ -170,6 +170,186 @@ class AdaptiveSampler:
         return out
 
 
+class TPESampler:
+    """Tree-structured Parzen Estimator proposals (Bergstra et al.,
+    NeurIPS'11) — the surrogate-model searcher the round-4 review asked
+    for (reference FLAML BlendSearch, flaml.py:87-100, mixes a global
+    Bayesian searcher with local search; AdaptiveSampler covers the
+    local half, this covers the global-model half).
+
+    Observations split into good (top `gamma` fraction by metric) and
+    bad; each dimension gets a pair of 1-D density models — categorical
+    frequency tables with Laplace smoothing for train_loss /
+    num_negatives, Gaussian KDEs (log-space for sigma / learning_rate,
+    linear for margin) for the continuous params. A proposal draws
+    `n_candidates` samples from the good-density and returns the one
+    maximizing the density ratio l(x)/g(x) (the TPE
+    expected-improvement surrogate). Same observe/propose interface as
+    AdaptiveSampler, so it composes with SHA brackets, the plateau
+    stopper, the trial executor, and warm_start_sampler unchanged.
+    """
+
+    def __init__(
+        self,
+        space: SearchSpace,
+        *,
+        seed: int = 0,
+        n_startup: int = 8,
+        gamma: float = 0.25,
+        n_candidates: int = 24,
+    ) -> None:
+        self.space = space
+        self.rng = np.random.default_rng(seed)
+        self.n_startup = n_startup
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self.observations: list[tuple[float, dict[str, Any]]] = []
+
+    def observe(self, config: dict[str, Any], metric: float) -> None:
+        if math.isfinite(metric):
+            self.observations.append((metric, dict(config)))
+
+    # -- density helpers ---------------------------------------------------
+    @staticmethod
+    def _cat_logp(values: list, choices: tuple, value) -> float:
+        counts = {c: 1.0 for c in choices}  # Laplace smoothing
+        for v in values:
+            counts[v] = counts.get(v, 1.0) + 1.0
+        total = sum(counts.values())
+        return math.log(counts.get(value, 1.0) / total)
+
+    @staticmethod
+    def _kde_logp(points: np.ndarray, span: float, x: float) -> float:
+        if len(points) == 0:
+            return -math.log(max(span, 1e-12))  # uniform over the span
+        # Scott's rule with a floor so sparse data keeps coverage
+        bw = max(
+            points.std() * len(points) ** -0.2 if len(points) > 1 else span,
+            0.1 * span,
+            1e-12,
+        )
+        z = (x - points) / bw
+        log_kernels = -0.5 * z * z - math.log(bw * math.sqrt(2 * math.pi))
+        peak = float(np.max(log_kernels))
+        return peak + math.log(
+            float(np.mean(np.exp(log_kernels - peak)))
+        )
+
+    def _split(self) -> tuple[list[dict], list[dict]]:
+        ranked = sorted(
+            self.observations, key=lambda mc: mc[0], reverse=True
+        )
+        n_good = max(1, int(len(ranked) * self.gamma))
+        return (
+            [c for _, c in ranked[:n_good]],
+            [c for _, c in ranked[n_good:]],
+        )
+
+    def _sample_from_good(self, good: list[dict]) -> dict[str, Any]:
+        """Draw one candidate from the good-side density (mixture of
+        kernels centered on good observations + the prior)."""
+        rng, space = self.rng, self.space
+        if rng.random() < 1.0 / (len(good) + 1):
+            return space.sample(rng)  # prior component
+        parent = good[int(rng.integers(len(good)))]
+        out = dict(parent)
+        if rng.random() < 0.2:
+            out["train_loss"] = str(rng.choice(space.train_losses))
+        lo, hi = space.log_num_negatives
+        log_nn = int(round(math.log2(max(1, parent["num_negatives"]))))
+        out["num_negatives"] = int(
+            2 ** int(np.clip(log_nn + rng.integers(-1, 2), lo, hi))
+        )
+        log_span_sigma = math.log(space.sigma[1] / space.sigma[0])
+        out["sigma"] = float(
+            np.clip(
+                parent["sigma"]
+                * math.exp(rng.normal(0.0, 0.15 * log_span_sigma)),
+                space.sigma[0],
+                space.sigma[1],
+            )
+        )
+        m_lo, m_hi, m_step = space.margin
+        margin = parent["margin"] + rng.normal(0.0, 0.15 * (m_hi - m_lo))
+        out["margin"] = float(
+            np.clip(round(margin / m_step) * m_step, m_lo, m_hi)
+        )
+        log_span_lr = math.log(
+            space.learning_rate[1] / space.learning_rate[0]
+        )
+        out["learning_rate"] = float(
+            np.clip(
+                parent["learning_rate"]
+                * math.exp(rng.normal(0.0, 0.15 * log_span_lr)),
+                space.learning_rate[0],
+                space.learning_rate[1],
+            )
+        )
+        return out
+
+    def _logratio(
+        self, cfg: dict[str, Any], good: list[dict], bad: list[dict]
+    ) -> float:
+        space = self.space
+        score = 0.0
+        score += self._cat_logp(
+            [c["train_loss"] for c in good], space.train_losses,
+            cfg["train_loss"],
+        ) - self._cat_logp(
+            [c["train_loss"] for c in bad], space.train_losses,
+            cfg["train_loss"],
+        )
+        nn_choices = tuple(
+            2**e
+            for e in range(
+                space.log_num_negatives[0], space.log_num_negatives[1] + 1
+            )
+        )
+        score += self._cat_logp(
+            [c["num_negatives"] for c in good], nn_choices,
+            cfg["num_negatives"],
+        ) - self._cat_logp(
+            [c["num_negatives"] for c in bad], nn_choices,
+            cfg["num_negatives"],
+        )
+        for name, transform, span in (
+            (
+                "sigma",
+                math.log,
+                math.log(space.sigma[1] / space.sigma[0]),
+            ),
+            (
+                "margin",
+                lambda v: v,
+                space.margin[1] - space.margin[0],
+            ),
+            (
+                "learning_rate",
+                math.log,
+                math.log(space.learning_rate[1] / space.learning_rate[0]),
+            ),
+        ):
+            x = transform(cfg[name])
+            pts_good = np.asarray([transform(c[name]) for c in good])
+            pts_bad = np.asarray([transform(c[name]) for c in bad])
+            score += self._kde_logp(pts_good, span, x) - self._kde_logp(
+                pts_bad, span, x
+            )
+        return score
+
+    def propose(self) -> dict[str, Any]:
+        if len(self.observations) < self.n_startup:
+            return self.space.sample(self.rng)
+        good, bad = self._split()
+        best_cfg, best_score = None, -math.inf
+        for _ in range(self.n_candidates):
+            cand = self._sample_from_good(good)
+            score = self._logratio(cand, good, bad)
+            if score > best_score:
+                best_cfg, best_score = cand, score
+        return dict(best_cfg)
+
+
 @dataclasses.dataclass
 class PlateauStopper:
     """Stop the experiment when the best metric stops improving.
