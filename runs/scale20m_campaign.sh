@@ -12,7 +12,7 @@ BASE="--model.hidden_size 128 --model.intermediate_size 128 \
  --model.num_attention_heads 4 \
  --model.learning_rate 5e-4 \
  --data.data_dir data/ml20m --data.batch_size 1024 \
- --trainer.max_epochs 2 --trainer.val_check_interval 0.25 \
+ --trainer.max_epochs 1 --trainer.val_check_interval 0.25 \
  --trainer.early_stopping_patience 8 --trainer.log_every_steps 200"
 
 run () {  # name extra-flags...
@@ -23,7 +23,12 @@ run () {  # name extra-flags...
     --trainer.run_name "$name" --trainer.seed 0 "$@" 2>&1 | tail -3
 }
 
-run ml20m-ccl       --model.train_loss ContrastiveLoss
+# CCL (SimpleX) = alignment + margin-contrastive: the reference's
+# AlignmentContrastiveLoss. Bare ContrastiveLoss is negative-only and
+# degenerate as a training objective (zero loss/grad at init on this
+# corpus — measured, see BENCH_NOTES r5). margin 0.6 = punish negatives
+# with cos > 0.4 (SimpleX's practical margin band).
+run ml20m-ccl       --model.train_loss AlignmentContrastiveLoss --model.margin 0.6
 run ml20m-directau  --model.train_loss DirectAULoss --model.gamma 1.0
 run ml20m-mawu      --model.train_loss MAWULoss --model.margin 0.2 --model.gamma 1.0
 run ml20m-infonce   --model.train_loss InfomationNoiseContrastiveEstimationLoss

@@ -111,6 +111,63 @@ class TestIdEmbed:
         assert np.abs(out[0] - out[2]).sum() > 0
 
 
+class TestCompressedTableAtLargeVocab:
+    """Pins the compressed-table contract in the regime it exists for
+    (BASELINE config 4: 10M-item corpora): parameter memory scales
+    with BUCKETS, not vocab, and multi-million rns embed correctly."""
+
+    @pytest.mark.parametrize("mode", ["bloom", "hash"])
+    def test_param_bytes_independent_of_vocab(self, mode):
+        import jax
+
+        table = IdEmbed(
+            mode=mode, num_buckets=2**14, num_hashes=2, features=32
+        )
+        rns = jnp.asarray([1, 9_999_999, 5_000_000, 0])
+        params = table.init(jax.random.PRNGKey(0), rns)
+        leaves = jax.tree_util.tree_leaves(params)
+        total = sum(leaf.size * leaf.dtype.itemsize for leaf in leaves)
+        table_bytes = 2**14 * 32 * 4  # buckets x dim x f32 — no 10M row
+        assert table_bytes <= total <= int(1.1 * table_bytes)
+        # and byte-identical params for a tiny-vocab init: size depends
+        # on buckets only, never on the id range
+        params_small = table.init(
+            jax.random.PRNGKey(0), jnp.asarray([1, 2, 3, 0])
+        )
+        small_total = sum(
+            leaf.size * leaf.dtype.itemsize
+            for leaf in jax.tree_util.tree_leaves(params_small)
+        )
+        assert small_total == total
+        out = np.asarray(table.apply(params, rns))
+        np.testing.assert_array_equal(out[3], 0.0)  # rn 0 stays zero
+        # distinct huge rns map to distinct embeddings (whp)
+        assert np.abs(out[0] - out[1]).max() > 1e-6
+        assert np.abs(out[1] - out[2]).max() > 1e-6
+
+    def test_bloom_collision_rate_at_scale(self):
+        """2 hashes over 2^18 buckets: full bucket-pair collisions for
+        distinct ids must be rare (the Bloom premise) — measured over
+        20k ids spread across a 10M-id space."""
+        import jax
+
+        table = IdEmbed(
+            mode="bloom", num_buckets=2**18, num_hashes=2, features=8
+        )
+        rns = jnp.asarray(
+            np.random.default_rng(0).choice(
+                10_000_000, size=20_000, replace=False
+            )
+            + 1
+        )
+        params = table.init(jax.random.PRNGKey(0), rns)
+        out = np.asarray(table.apply(params, rns))
+        # identical embeddings == full collision (exact bytes: distinct
+        # bucket pairs give bit-distinct sums almost surely)
+        uniq = len({row.tobytes() for row in out})
+        assert uniq > 19_500  # <2.5% full-collision rate at 20k/10M ids
+
+
 class TestConfigGates:
     def test_bag_requires_history_tower(self):
         with pytest.raises(ValueError, match="user_tower"):

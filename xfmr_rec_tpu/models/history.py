@@ -107,9 +107,19 @@ class IdEmbed(nn.Module):
             mults = jnp.asarray(
                 _REHASH_MULTIPLIERS[: self.num_hashes], dtype=jnp.uint32
             )
-            hashed = (
-                rns.astype(jnp.uint32)[..., None] * mults
-            ) % jnp.uint32(self.num_buckets)
+            # multiplicative hash with an xor-fold of the HIGH product
+            # bits before the modulus. A bare `(rn * m) % 2^k` keeps
+            # only the low k product bits, and those collide exactly
+            # when rn1 - rn2 is divisible by 2^k REGARDLESS of the odd
+            # multiplier — every "independent" hash then induces the
+            # same partition, and the Bloom sum degrades to a single
+            # hash (measured: 3.8% full collisions at 20k ids over 2^18
+            # buckets = the single-hash birthday rate; the fold
+            # restores the expected ~multiplicity-independent rate —
+            # tests/test_item_ids.py pins it).
+            prod = rns.astype(jnp.uint32)[..., None] * mults
+            mixed = prod ^ (prod >> jnp.uint32(16))
+            hashed = mixed % jnp.uint32(self.num_buckets)
             vecs = nn.Embed(
                 self.num_buckets,
                 self.features,
@@ -119,10 +129,13 @@ class IdEmbed(nn.Module):
             )(hashed.astype(jnp.int32))
             if self.mode == "hash":
                 # importance keyed by an independent hash of the id
-                imp_key = (
-                    rns.astype(jnp.uint32)
-                    * jnp.uint32(_REHASH_MULTIPLIERS[-1])
-                ) % jnp.uint32(self.num_buckets)
+                # (same high-bit fold as the bucket hashes above)
+                imp_prod = rns.astype(jnp.uint32) * jnp.uint32(
+                    _REHASH_MULTIPLIERS[-1]
+                )
+                imp_key = (imp_prod ^ (imp_prod >> jnp.uint32(16))) % (
+                    jnp.uint32(self.num_buckets)
+                )
                 importance = nn.Embed(
                     self.num_buckets,
                     self.num_hashes,
