@@ -36,7 +36,7 @@ from xfmr_rec_tpu.data.module import DataConfig, RecDataModule
 TOPK = 20
 
 
-def main(data_dir: str = "data/ml1m") -> None:
+def main(data_dir: str = "data/ml1m", subset: str = "val") -> None:
     dm = RecDataModule(DataConfig(data_dir=data_dir))
     dm.setup()
     genres = []
@@ -76,7 +76,7 @@ def main(data_dir: str = "data/ml1m") -> None:
         # probe ceilings are directly comparable to trainer val metrics
         ndcgs = []
         graded = []
-        for batch in dm.eval_batches("val"):
+        for batch in dm.eval_batches(subset):
             upos = batch["user_pos"]
             valid = batch["valid"]
             scores = np.stack([score_fn(int(u)) for u in upos])
