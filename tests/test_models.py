@@ -154,6 +154,33 @@ class TestEncoder:
         assert out.shape == (2, 32)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_compressed_hashes_are_independent(self):
+        """The two Bloom hashes over a power-of-two bucket count must
+        induce DIFFERENT partitions of the token space. A bare
+        `(id * m) % 2^k` keeps only the low k product bits, so every odd
+        multiplier collides the same id pairs (id1-id2 divisible by 2^k)
+        and the Bloom sum degrades to a single hash; the xor-fold of the
+        high product bits breaks that (encoder.py CompressedEmbed,
+        mirroring IdEmbed / tests/test_item_ids.py)."""
+        from xfmr_rec_tpu.models.encoder import CompressedEmbed
+
+        num_buckets = 2**13  # the default (8192), where the bug bites
+        table = CompressedEmbed(
+            vocab_size=2**20,
+            num_buckets=num_buckets,
+            num_hashes=2,
+            features=8,
+            mode="bloom",
+        )
+        # ids separated by exact multiples of num_buckets: the broken
+        # hash maps each pair to ONE shared bucket pair -> identical rows
+        base = jnp.asarray([7, 11, 13, 29], dtype=jnp.int32)
+        ids = jnp.concatenate([base, base + num_buckets, base + 2 * num_buckets])
+        params = table.init(jax.random.PRNGKey(0), ids)
+        out = np.asarray(table.apply(params, ids))
+        uniq = len({row.tobytes() for row in out})
+        assert uniq == out.shape[0]
+
     def test_bloom_smaller_than_dense(self):
         dense = init_encoder(ModelConfig(**TINY), rng=0)[1]
         bloom = init_encoder(

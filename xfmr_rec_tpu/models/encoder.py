@@ -206,9 +206,17 @@ class CompressedEmbed(nn.Module):
         mults = jnp.asarray(
             _REHASH_MULTIPLIERS[: self.num_hashes], dtype=jnp.uint32
         )
-        hashed = (ids.astype(jnp.uint32)[..., None] * mults) % jnp.uint32(
-            self.num_buckets
-        )
+        # multiplicative hash with an xor-fold of the HIGH product bits
+        # before the modulus: a bare `(id * m) % 2^k` keeps only the low
+        # k product bits, which collide exactly when id1 - id2 is
+        # divisible by 2^k regardless of the odd multiplier — all
+        # "independent" hashes then induce the SAME partition and the
+        # Bloom sum degrades to a single hash. Same fix as
+        # models/history.py IdEmbed (tests/test_item_ids.py pins the
+        # collision rate there; tests/test_models.py pins it here).
+        prod = ids.astype(jnp.uint32)[..., None] * mults
+        mixed = prod ^ (prod >> jnp.uint32(16))
+        hashed = mixed % jnp.uint32(self.num_buckets)
         vecs = buckets(hashed.astype(jnp.int32))  # (..., num_hashes, feat)
         if self.mode == "hash":
             importance = nn.Embed(
