@@ -936,3 +936,20 @@ class Trainer:
             self.data.tokenizer.save(path / "vocab.json")
         # user table for id-based serving lookups
         self.data.users_frame.to_parquet(path / "users.parquet", index=False)
+        # portable (NumPy-only) inference export of the text tower —
+        # the TPU-native counterpart of the reference's ONNX serving
+        # backend (bentoml/service.py:91); see serving/portable.py
+        from xfmr_rec_tpu.models.history import needs_two_tower
+        from xfmr_rec_tpu.serving.portable import write_portable
+
+        text_params = (
+            self.state.params["text"]
+            if needs_two_tower(self.config)
+            else self.state.params
+        )
+        write_portable(
+            text_params,
+            self.config.model_dump(),
+            self.data.config.model_dump(),
+            path,
+        )
