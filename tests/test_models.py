@@ -154,6 +154,38 @@ class TestEncoder:
         assert out.shape == (2, 32)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_remat_matches_plain(self):
+        """remat=True recomputes layers (and dropout masks, same RNG
+        replay) in the backward pass; loss and grads must match the
+        stored-activation path up to XLA reassociation."""
+        from xfmr_rec_tpu.models.tokenizer import HashingTokenizer
+
+        tok = HashingTokenizer(vocab_size=1000, max_length=16)
+        ids = jnp.asarray(tok.encode_batch([ITEM_TEXT, USER_TEXT]))
+        results = []
+        for remat in (False, True):
+            config = ModelConfig(**{**TINY, "remat": remat})
+            model, params = init_encoder(config, rng=0)
+
+            def loss_fn(p, model=model):
+                emb = model.apply(
+                    {"params": p},
+                    ids,
+                    deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(7)},
+                )
+                return jnp.sum(emb * emb[::-1])
+
+            results.append(jax.jit(jax.value_and_grad(loss_fn))(params))
+        (l0, g0), (l1, g1) = results
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
     def test_compressed_hashes_are_independent(self):
         """The two Bloom hashes over a power-of-two bucket count must
         induce DIFFERENT partitions of the token space. A bare

@@ -69,6 +69,15 @@ class ModelConfig(pydantic.BaseModel):
     # BENCH_NOTES round 3).
     initializer_range: float | None = 0.02
     compute_dtype: Literal["float32", "bfloat16"] = "bfloat16"
+    # Rematerialize transformer layers in the backward pass
+    # (jax.checkpoint): activations AND dropout masks are recomputed
+    # instead of stored. At h32 the measured step cost is HBM-layout
+    # bound (dropout-mask materialization ~11 ms/step at B=4096,
+    # BENCH_NOTES round 5), so trading FLOPs for HBM traffic is the
+    # TPU-idiomatic lever. The same RNG keys replay in the recompute,
+    # so dropout masks are identical; values match up to XLA
+    # reassociation (~1e-7, tests/test_models.py).
+    remat: bool = False
     max_length: int = 64
     embedding_type: Literal["dense", "hash", "bloom"] = "dense"
     num_hashes: int = 2
@@ -239,8 +248,11 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, hidden: Array, mask_bias: Array, *, deterministic: bool
+        self, hidden: Array, mask_bias: Array, deterministic: bool = True
     ) -> Array:
+        # NOTE: `deterministic` is positional (not keyword-only) so
+        # nn.remat can mark it static (static_argnums counts from the
+        # first non-self argument)
         cfg = self.config
         num_heads = cfg.num_attention_heads
         head_dim = cfg.hidden_size // num_heads
@@ -348,10 +360,15 @@ class TextEncoder(nn.Module):
         )
 
         mask_bias = jnp.where(mask, 0.0, -1e9).astype(dtype)[:, None, None, :]
+        layer_cls = TransformerLayer
+        if cfg.remat:
+            # `deterministic` is a Python bool and must stay static
+            # (argnum 3 in the lifted fn: scope, hidden, mask_bias, det)
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(3,))
         for layer_idx in range(cfg.num_hidden_layers):
-            hidden = TransformerLayer(
+            hidden = layer_cls(
                 cfg, dtype, name=f"layer_{layer_idx}"
-            )(hidden, mask_bias, deterministic=deterministic)
+            )(hidden, mask_bias, deterministic)
 
         pooled = self._pool(hidden, mask, dtype)
         pooled = pooled.astype(jnp.float32)
