@@ -12,6 +12,10 @@
 # (runs/quality_cf_report.py with these run dirs).
 set -e
 cd /root/repo
+# Priority order (VERDICT r4: ml20m campaign is #2, quality ceiling #6):
+# run the ML-20M loss sweep BEFORE the seed family. Idempotent — the
+# queue's own scale20m stage then skips everything.
+bash runs/scale20m_campaign.sh
 BASE="--model.user_tower history --model.max_history 16 \
  --model.train_loss InfomationNoiseContrastiveEstimationLoss \
  --data.data_dir data/ml1m-ts --trainer.max_epochs 4 \
