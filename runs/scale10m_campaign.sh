@@ -17,7 +17,11 @@ BASE="--model.learning_rate 1e-3 \
  --data.data_dir data/items10m --data.batch_size 1024 \
  --trainer.max_epochs 1 --trainer.val_check_interval 0.5 \
  --trainer.encode_batch_size 4096 \
+ --trainer.checkpointing false \
  --trainer.log_every_steps 500"
+# checkpointing off: the report reads metrics.jsonl only, and saving the
+# dense 10M-row table + Adam moments (~7 GB state) through the relay
+# costs ~8 min per save and deadlocked on the 2nd back-to-back save.
 
 run () {
   local name="$1"; shift

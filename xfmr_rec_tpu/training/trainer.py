@@ -71,6 +71,14 @@ class TrainerConfig:
     log_dir: str = "runs"
     run_name: str = ""
     ckpt_dir: str | None = None
+    # False disables best/last checkpoint writes entirely (early-stop
+    # bookkeeping still runs). Use for throwaway campaign runs whose
+    # reports read metrics.jsonl only — with multi-GB states (e.g. a
+    # dense 10M-row ID table + Adam moments) every save fetches the
+    # full state through the device relay (~8 min measured, and the
+    # second back-to-back save deadlocked the relay client —
+    # BENCH_NOTES round 5).
+    checkpointing: bool = True
     seed: int = 0
     profile_dir: str | None = None
     # Device mesh (the reference's DDP equivalent, ray.py:40-51): None =
@@ -393,10 +401,12 @@ class Trainer:
         if value > self.best_metric + tc.early_stopping_min_delta:
             self.best_metric = value
             self._bad_checks = 0
-            self.save_checkpoint("best")
+            if tc.checkpointing:
+                self.save_checkpoint("best")
         else:
             self._bad_checks += 1
-        self.save_checkpoint("last")
+        if tc.checkpointing:
+            self.save_checkpoint("last")
         return self._bad_checks >= tc.early_stopping_patience
 
     # ------------------------------------------------------------------
