@@ -13,7 +13,12 @@ BASE="--model.hidden_size 128 --model.intermediate_size 128 \
  --model.learning_rate 5e-4 \
  --data.data_dir data/ml20m --data.batch_size 1024 \
  --trainer.max_epochs 1 --trainer.val_check_interval 0.25 \
+ --trainer.max_time_s 2400 --trainer.checkpointing false \
  --trainer.early_stopping_patience 8 --trainer.log_every_steps 200"
+# max_time_s 2400: a uniform 40-min budget per loss keeps the 4-loss
+# sweep inside the round's chip window; the comparison is budget-matched
+# across losses (quality at best val within the window). checkpointing
+# off: the report reads metrics.jsonl only.
 
 run () {  # name extra-flags...
   local name="$1"; shift
