@@ -60,6 +60,14 @@ def load_run(run_dir: pathlib.Path) -> dict | None:
         "train_state_mb": 3 * table_bytes(cfg) / 2**20,
         "best_ndcg": None if best is None else best[METRIC],
         "best_recall": None if best is None else best.get("val/RetrievalRecall"),
+        # the train objective on the holdout: the quality-retention
+        # signal that stays above the noise floor at 10M-item sparsity
+        "val_hinge": None
+        if best is None
+        else best.get("val/PairwiseHingeLoss"),
+        "val_infonce": None
+        if best is None
+        else best.get("val/InfomationNoiseContrastiveEstimationLoss"),
         "steps_per_s": steps_per_s,
         "last_step": train_rows[-1][0] if train_rows else 0,
     }
@@ -78,14 +86,18 @@ def main() -> None:
         print("no completed items10m runs")
         return
     print()
-    print("| run | mode | table (MB) | +Adam (MB) | best val NDCG@20 | steps/s |")
-    print("|---|---|---|---|---|---|")
+    print(
+        "| run | mode | table (MB) | +Adam (MB) | best val NDCG@20 "
+        "| val hinge | steps/s |"
+    )
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
-        ndcg = "-" if r["best_ndcg"] is None else f"{r['best_ndcg']:.5f}"
+        ndcg = "-" if r["best_ndcg"] is None else f"{r['best_ndcg']:.2e}"
+        hinge = "-" if r["val_hinge"] is None else f"{r['val_hinge']:.1f}"
         sps = "-" if r["steps_per_s"] is None else f"{r['steps_per_s']:.1f}"
         print(
             f"| {r['run']} | {r['mode']} | {r['table_mb']:.1f} "
-            f"| {r['train_state_mb']:.1f} | {ndcg} | {sps} |"
+            f"| {r['train_state_mb']:.1f} | {ndcg} | {hinge} | {sps} |"
         )
     # n>=3 headline cell: bloom mean +/- std
     bloom = [r["best_ndcg"] for r in rows if r["mode"] == "bloom" and r["best_ndcg"]]
