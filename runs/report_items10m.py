@@ -48,10 +48,15 @@ def load_run(run_dir: pathlib.Path) -> dict | None:
             train_rows.append((row["step"], row["time"]))
     steps_per_s = None
     if len(train_rows) >= 3:
-        # skip the first logged interval (contains compile)
-        (s0, t0), (s1, t1) = train_rows[1], train_rows[-1]
-        if t1 > t0:
-            steps_per_s = (s1 - s0) / (t1 - t0)
+        # median per-interval rate: robust to the compile-bearing first
+        # interval and to intervals that contain a validation pass
+        rates = [
+            (s1 - s0) / (t1 - t0)
+            for (s0, t0), (s1, t1) in zip(train_rows, train_rows[1:])
+            if t1 > t0
+        ]
+        rates.sort()
+        steps_per_s = rates[len(rates) // 2]
     return {
         "run": run_dir.name,
         "mode": cfg["item_id_embedding"],

@@ -37,9 +37,14 @@ def load_run(run_dir: pathlib.Path) -> dict | None:
             train_rows.append((row["step"], row["time"]))
     steps_per_s = None
     if len(train_rows) >= 3:
-        (s0, t0), (s1, t1) = train_rows[1], train_rows[-1]
-        if t1 > t0:
-            steps_per_s = (s1 - s0) / (t1 - t0)
+        # median per-interval rate (robust to compile/val intervals)
+        rates = [
+            (s1 - s0) / (t1 - t0)
+            for (s0, t0), (s1, t1) in zip(train_rows, train_rows[1:])
+            if t1 > t0
+        ]
+        rates.sort()
+        steps_per_s = rates[len(rates) // 2]
     batch = json.loads((run_dir / "config.json").read_text())["data"][
         "batch_size"
     ]
