@@ -124,6 +124,23 @@ def main() -> None:
     out["guaranteed_batch_ms"] = dt * 1e3
     out["corpus_rows"] = float(idx.corpus.shape[0])
 
+    # int8 corpus at 10M: the 2x items/chip capacity story at the scale
+    # it exists for (per-item scales; bf16-speed scan)
+    from xfmr_rec_tpu.index import RetrievalIndex
+
+    corpus_f32 = np.load(ARTIFACT / "index" / "corpus.npz")["embeddings"]
+    idx8 = RetrievalIndex(
+        corpus_f32, np.asarray(idx.ids), dtype="int8", method="scan"
+    )
+    del corpus_f32
+    idx8.search_certified(q, top_k=TOP_K, method="packed")  # compile
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        idx8.search_certified(q, top_k=TOP_K, method="packed")
+    dt8 = (time.perf_counter() - t0) / ITERS
+    out["guaranteed_qps_10m_int8"] = BATCH / dt8
+    del idx8
+
     with metrics_path.open("a") as f:
         f.write(json.dumps(out) + "\n")
     print(json.dumps(out, indent=2))

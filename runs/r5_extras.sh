@@ -7,6 +7,17 @@
 set -u
 cd /root/repo
 
+# Relay-health gate: the axon relay went silent at ~09:15 (remote side
+# stopped responding; stdin pump starved, no serve threads). Every TPU
+# process hangs at first device contact until it heals — so probe with
+# a bounded tiny op and only start the queue once the chip answers.
+echo "=== relay probe loop  $(date +%H:%M:%S)"
+until timeout 120 python -c "import jax, jax.numpy as jnp; print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))" >/dev/null 2>&1; do
+  echo "relay still down  $(date +%H:%M:%S)"
+  sleep 120
+done
+echo "=== relay healthy  $(date +%H:%M:%S)"
+
 stage () {  # name cmd...
   local name="$1"; shift
   local log="runs/$name.log"
@@ -17,6 +28,12 @@ stage () {  # name cmd...
   echo "=== stage $name done rc=$rc  $(date +%H:%M:%S)"
   [ $rc -eq 0 ] && touch "runs/.done-$name"
 }
+
+# retry pass for any items10m run that deadlocked in part 1 (the relay
+# client wedged mid-run on bloom-s1: CPU frozen, all threads in futex
+# wait, socket silent — same signature as the multi-GB checkpoint
+# deadlock, this time with checkpointing off); idempotent skip-by-metrics
+bash runs/scale10m_campaign.sh >> runs/scale10m.log 2>&1
 
 stage items10m_serve  timeout 3600 python runs/items10m_serve.py
 stage scale20m_real   bash runs/scale20m_campaign.sh
