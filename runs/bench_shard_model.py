@@ -155,7 +155,11 @@ def main() -> None:
         print(f"merge m={m}: {merge_ms[m]:6.2f} ms/batch")
 
     def t_link(m, gbps=ICI_GBPS):
-        return BATCH * POOL_W * 4 * (m - 1) / gbps * 1e3  # ms
+        # 8 bytes/candidate: the post-gather merge consumes keys AND
+        # positions (review round 5 — 4 B/candidate undercounted the
+        # payload by half; still sub-ms at every m, so projections move
+        # by <0.5%)
+        return BATCH * POOL_W * 8 * (m - 1) / gbps * 1e3  # ms
 
     rows = []
     for total_n in (4_194_304, 16_777_216):

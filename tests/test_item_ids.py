@@ -595,3 +595,103 @@ class TestEndToEnd:
         assert (
             np.abs(served - expect).max() < np.abs(empty - expect).max()
         )
+
+
+class TestDenseBagLiveAdd:
+    """Live-added items must NOT reach a dense ID-table bag slot.
+
+    add_items extends the engine's position map past the trained dense
+    table; the gather's clip mode would silently alias every such rn to
+    the LAST trained item's embedding (round-5 review finding). The
+    guard treats beyond-table rns as unknown for the bag while the
+    history slots still use the (extended) corpus embedding.
+    """
+
+    @pytest.fixture(scope="class")
+    def dense_engine(self, data_dir, tmp_path_factory):
+        from xfmr_rec_tpu.serving.engine import RecommenderEngine
+
+        dm = RecDataModule(
+            DataConfig(
+                data_dir=data_dir,
+                batch_size=8,
+                max_length=16,
+                vocab_size=500,
+                max_history=4,
+                max_bag=16,
+            )
+        )
+        trainer = Trainer(
+            TrainConfig(
+                **TINY,
+                user_tower="history",
+                max_history=4,
+                item_id_embedding="dense",
+                item_id_buckets=101,  # num_movies + 1
+                max_bag=16,
+            ),
+            data=dm,
+            trainer_config=TrainerConfig(
+                max_steps=4,
+                log_dir=str(tmp_path_factory.mktemp("denseruns")),
+                limit_val_batches=1,
+                mesh=False,
+            ),
+        )
+        trainer.fit()
+        path = tmp_path_factory.mktemp("denseart") / "model"
+        trainer.save(path)
+        return RecommenderEngine(path, warmup=False)
+
+    def test_added_item_skips_dense_bag(self, dense_engine):
+        from xfmr_rec_tpu.serving.schemas import Activity, ItemQuery, UserQuery
+
+        engine = dense_engine
+        user_text = '{"gender":"F","age":30,"occupation":1,"zipcode":"12345"}'
+        engine.add_items(
+            [ItemQuery(movie_id=900100, movie_text='{"title":"Live Item"}')]
+        )
+        new_pos = engine._hist_pos_of_id[900100]
+        assert new_pos + 1 >= engine.model_config.item_id_buckets
+
+        history = [
+            Activity(
+                movie_id=900100,
+                rating=5,
+                datetime=1,
+                movie_rn=0,
+                movie_text="",
+            )
+        ]
+        served = np.asarray(
+            engine.embed_user_query(
+                UserQuery(user_id=0, user_text=user_text, history=history)
+            ).embedding
+        )
+
+        # expected: hist slot uses the live-added corpus embedding, bag
+        # slot fully masked — build the fuse inputs by hand
+        tokens = engine.tokenizer.encode_batch([user_text])
+        H = engine.model_config.max_history
+        B = engine.model_config.max_bag
+        hist_pos = np.zeros((1, H), np.int32)
+        hist_mask = np.zeros((1, H), bool)
+        hist_rat = np.zeros((1, H), np.int32)
+        hist_pos[0, 0] = new_pos
+        hist_mask[0, 0] = True
+        hist_rat[0, 0] = 5
+        expect = np.asarray(
+            engine._fuse_user(
+                engine.params,
+                tokens,
+                engine._hist_corpus,
+                hist_pos,
+                hist_mask,
+                hist_rat,
+                np.zeros((1, B), np.int32),
+                np.zeros((1, B), np.int32),
+                np.zeros((1, B), bool),
+            )
+        )[0]
+        width = expect.shape[0]
+        np.testing.assert_allclose(served[:width], expect, atol=1e-5)

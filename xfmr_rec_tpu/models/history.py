@@ -236,9 +236,15 @@ class HistoryFusion(nn.Module):
         )(seq)
         seq = nn.Dropout(cfg.dropout_rate)(seq, deterministic=deterministic)
         mask_bias = jnp.where(mask, 0.0, -1e9).astype(dtype)[:, None, None, :]
+        layer_cls = TransformerLayer
+        if cfg.remat:
+            # same lifting as the text encoder (encoder.py): the fusion
+            # layers carry the flagship's dropout-mask HBM cost too, so
+            # the remat knob must cover them (round-5 review finding)
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(3,))
         for layer_idx in range(cfg.history_layers):
-            seq = TransformerLayer(cfg, dtype, name=f"fusion_layer_{layer_idx}")(
-                seq, mask_bias, deterministic=deterministic
+            seq = layer_cls(cfg, dtype, name=f"fusion_layer_{layer_idx}")(
+                seq, mask_bias, deterministic
             )
 
         weights = mask[..., None].astype(seq.dtype)

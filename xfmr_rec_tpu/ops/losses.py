@@ -307,8 +307,17 @@ def mawu_loss(
     through the cosine nonlinearity (cos(theta+m) = cos.cos(m) -
     sin.sin(m)), so it reshapes gradients near convergence — an
     additive cosine margin would be a constant shift with zero
-    gradient effect. At m=0 this reduces to DirectAU's alignment (on
-    unit vectors 1 - cos = ||u-i||^2 / 2 = squared_distance).
+    gradient effect.
+
+    Scale convention (gamma is NOT transferable to DirectAULoss): at
+    m=0 the alignment is (1-cos)*sigma = ||u-i||^2/2 * sigma — HALF of
+    direct_au_loss's paper-form 2*(1-cos)*sigma — and the two
+    uniformity terms enter unhalved (the paper's separate
+    gamma_1/gamma_2), where direct_au_loss averages them. So
+    mawu(m=0, sigma, gamma) == direct_au(sigma/2, 2*gamma): the
+    uniformity-to-alignment ratio at equal knobs is 4x DirectAU's.
+    Sweeps comparing the two losses compare MECHANISMS at their own
+    paper-form scales, not a shared gamma axis.
 
     Weighted uniformity keeps DirectAU's two uniformity terms but
     weighs each side separately (the paper's dataset-dependent

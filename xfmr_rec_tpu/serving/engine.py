@@ -621,6 +621,16 @@ class RecommenderEngine:
                 pos = self._hist_pos_of_id.get(int(entry.movie_id))
                 if pos is None:
                     continue
+                if (
+                    self.model_config.item_id_embedding == "dense"
+                    and pos + 1 >= self.model_config.item_id_buckets
+                ):
+                    # live-added item past the trained dense table:
+                    # the gather's clip mode would silently alias it to
+                    # the LAST trained item's embedding — treat as
+                    # unknown instead (hash/bloom hash any rn into
+                    # trained buckets, so they pass through)
+                    continue
                 bag_rns[0, filled] = pos + 1
                 bag_rat[0, filled] = int(entry.rating)
                 bag_mask[0, filled] = True

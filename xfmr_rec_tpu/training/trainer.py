@@ -918,8 +918,12 @@ class Trainer:
 
         path = pathlib.Path(path)
         path.mkdir(parents=True, exist_ok=True)
+        # ONE device->host fetch shared by the msgpack and portable
+        # writers: back-to-back multi-GB fetches through the relay are
+        # the documented deadlock pattern (BENCH_NOTES round 5)
+        params_host = jax.device_get(self.state.params)
         (path / "encoder.msgpack").write_bytes(
-            serialization.to_bytes(self.state.params)
+            serialization.to_bytes(params_host)
         )
         (path / PROCESSORS_JSON).write_text(
             json.dumps(
@@ -953,9 +957,9 @@ class Trainer:
         from xfmr_rec_tpu.serving.portable import write_portable
 
         text_params = (
-            self.state.params["text"]
+            params_host["text"]
             if needs_two_tower(self.config)
-            else self.state.params
+            else params_host
         )
         write_portable(
             text_params,
