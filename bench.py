@@ -67,7 +67,45 @@ WARMUP = 3
 ITERS = 20
 
 
+def _device_gate(timeout_s: float = 300.0) -> None:
+    """Fail FAST (stderr + exit 1) if the axon relay is unreachable.
+
+    The relay's observed failure mode (BENCH_NOTES round 5) hangs every
+    device call forever; without this gate the driver's bench run would
+    hang instead of recording a failure. No fallback numbers are
+    printed — a dead relay is a failed bench, not a zero."""
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def probe() -> None:
+        # a REAL dispatch drained to host: device enumeration succeeds
+        # even when the relay's op path is wedged (measured during the
+        # round-5 outage), so only a completed computation proves health
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.ones((8, 8))
+        float(jnp.sum(x @ x))
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(
+            f"bench.py: device init did not complete in {timeout_s:.0f}s "
+            "— axon relay unreachable; aborting without a measurement",
+            file=sys.stderr,
+            flush=True,
+        )
+        import os
+
+        os._exit(1)
+
+
 def main() -> None:
+    _device_gate()
     import jax
     import jax.numpy as jnp
 
