@@ -5,13 +5,17 @@
 # over. Waits up to 90 min; exits quietly if the run never lands.
 set -u
 cd /root/repo
+# wait for a VAL row (the report keys on best val NDCG; train rows land
+# first and must not trigger the one-shot update)
 for _ in $(seq 1 180); do
-  [ -s runs/items10m-bloom-s2/metrics.jsonl ] && break
+  grep -q "val/RetrievalNormalizedDCG" runs/items10m-bloom-s2/metrics.jsonl 2>/dev/null \
+    && grep -c "val/RetrievalNormalizedDCG" runs/items10m-bloom-s2/metrics.jsonl | grep -q "^[2-9]" \
+    && break
   sleep 30
 done
-[ -s runs/items10m-bloom-s2/metrics.jsonl ] || exit 0
-# let the trainer finish writing + the queue log settle
-sleep 60
+grep -q "val/RetrievalNormalizedDCG" runs/items10m-bloom-s2/metrics.jsonl 2>/dev/null || exit 0
+# let the trainer finish writing (final val + exit) + queue log settle
+sleep 120
 
 PALLAS_AXON_POOL_IPS= python - << 'EOF'
 import json, pathlib, re, subprocess
